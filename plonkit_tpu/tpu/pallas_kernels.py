@@ -1,0 +1,112 @@
+"""Pallas TPU kernels for the hot field operations.
+
+XLA does not fuse the ~2.5k-op Montgomery limb graphs well (measured ~150
+HBM round-trips per mont_mul at 2^22); these kernels keep a [16, TILE] limb
+block resident in VMEM so the whole multiply is one HBM pass, turning the
+operation compute-bound on the VPU.
+
+Kernels reuse the limb algorithms from mont.py verbatim (jnp ops lower to
+Mosaic inside the kernel), so correctness is inherited from the host-oracle
+tests.  Every kernel has interpret-mode support for CPU testing.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import mont
+from .mont import NLIMBS, FieldSpec
+
+# 1024 lanes/tile: block = 16 x 1024 u32 = 64 KiB; a 3-operand kernel uses
+# <256 KiB VMEM, far under the ~16 MiB budget, letting the pipeline double-buffer.
+DEFAULT_TILE = 1024
+
+
+def _pad_to(x, tile):
+    n = x.shape[-1]
+    rem = n % tile
+    if rem == 0:
+        return x, n
+    pad = tile - rem
+    return jnp.pad(x, ((0, 0), (0, pad))), n
+
+
+def _elementwise_call(kernel_body, spec, args, tile, interpret, num_outputs=1):
+    padded = []
+    n = args[0].shape[-1]
+    for a in args:
+        p, _ = _pad_to(a, tile)
+        padded.append(p)
+    np_ = padded[0].shape[-1]
+    grid = (np_ // tile,)
+    bspec = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i))
+    out_shape = [jax.ShapeDtypeStruct((NLIMBS, np_), jnp.uint32) for _ in range(num_outputs)]
+    out_specs = [bspec] * num_outputs
+    if num_outputs == 1:
+        out_shape, out_specs = out_shape[0], out_specs[0]
+    res = pl.pallas_call(
+        partial(kernel_body, spec),
+        grid=grid,
+        in_specs=[bspec] * len(args),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*padded)
+    if num_outputs == 1:
+        return res[:, :n]
+    return tuple(r[:, :n] for r in res)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+def _mul_body(spec, a_ref, b_ref, o_ref):
+    o_ref[...] = mont.mont_mul(spec, a_ref[...], b_ref[...])
+
+
+def _add_body(spec, a_ref, b_ref, o_ref):
+    o_ref[...] = mont.add(spec, a_ref[...], b_ref[...])
+
+
+def _sub_body(spec, a_ref, b_ref, o_ref):
+    o_ref[...] = mont.sub(spec, a_ref[...], b_ref[...])
+
+
+def _mul_add_body(spec, a_ref, b_ref, c_ref, o_ref):
+    o_ref[...] = mont.add(spec, mont.mont_mul(spec, a_ref[...], b_ref[...]), c_ref[...])
+
+
+def _butterfly_body(spec, lo_ref, hi_ref, w_ref, out_lo_ref, out_hi_ref):
+    """Radix-2 NTT butterfly: t = w * hi; (lo + t, lo - t)."""
+    lo = lo_ref[...]
+    t = mont.mont_mul(spec, w_ref[...], hi_ref[...])
+    out_lo_ref[...] = mont.add(spec, lo, t)
+    out_hi_ref[...] = mont.sub(spec, lo, t)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+def mul(spec: FieldSpec, a, b, tile=DEFAULT_TILE, interpret=False):
+    return _elementwise_call(_mul_body, spec, (a, b), tile, interpret)
+
+
+def add(spec: FieldSpec, a, b, tile=DEFAULT_TILE, interpret=False):
+    return _elementwise_call(_add_body, spec, (a, b), tile, interpret)
+
+
+def sub(spec: FieldSpec, a, b, tile=DEFAULT_TILE, interpret=False):
+    return _elementwise_call(_sub_body, spec, (a, b), tile, interpret)
+
+
+def mul_add(spec: FieldSpec, a, b, c, tile=DEFAULT_TILE, interpret=False):
+    return _elementwise_call(_mul_add_body, spec, (a, b, c), tile, interpret)
+
+
+def butterfly(spec: FieldSpec, lo, hi, w, tile=DEFAULT_TILE, interpret=False):
+    return _elementwise_call(_butterfly_body, spec, (lo, hi, w), tile, interpret, num_outputs=2)
