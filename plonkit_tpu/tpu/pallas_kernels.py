@@ -34,27 +34,42 @@ def _pad_to(x, tile):
     return jnp.pad(x, ((0, 0), (0, pad))), n
 
 
-def _elementwise_call(kernel_body, spec, args, tile, interpret, num_outputs=1):
-    padded = []
+_KERNEL_CACHE = {}
+
+
+def _get_kernel(body_name, spec, tile, n_padded, num_inputs, num_outputs, interpret):
+    """Cache pallas_call callables so JAX's compilation cache is hit across
+    calls (a fresh callable per call would recompile the Mosaic kernel every
+    time -- measured ~20s per compile)."""
+    key = (body_name, id(spec), tile, n_padded, num_inputs, num_outputs, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        body = partial(globals()[body_name], spec)
+        grid = (n_padded // tile,)
+        bspec = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i))
+        out_shape = [jax.ShapeDtypeStruct((NLIMBS, n_padded), jnp.uint32) for _ in range(num_outputs)]
+        out_specs = [bspec] * num_outputs
+        if num_outputs == 1:
+            out_shape, out_specs = out_shape[0], out_specs[0]
+        fn = jax.jit(pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=[bspec] * num_inputs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        ))
+        _KERNEL_CACHE[key] = fn
+    return fn
+
+
+def _elementwise_call(body_name, spec, args, tile, interpret, num_outputs=1):
     n = args[0].shape[-1]
-    for a in args:
-        p, _ = _pad_to(a, tile)
-        padded.append(p)
-    np_ = padded[0].shape[-1]
-    grid = (np_ // tile,)
-    bspec = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i))
-    out_shape = [jax.ShapeDtypeStruct((NLIMBS, np_), jnp.uint32) for _ in range(num_outputs)]
-    out_specs = [bspec] * num_outputs
-    if num_outputs == 1:
-        out_shape, out_specs = out_shape[0], out_specs[0]
-    res = pl.pallas_call(
-        partial(kernel_body, spec),
-        grid=grid,
-        in_specs=[bspec] * len(args),
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*padded)
+    tile = min(tile, max(128, 1 << (n - 1).bit_length()))
+    padded = [_pad_to(a, tile)[0] for a in args]
+    n_padded = padded[0].shape[-1]
+    fn = _get_kernel(body_name, spec, tile, n_padded, len(args), num_outputs, interpret)
+    res = fn(*padded)
     if num_outputs == 1:
         return res[:, :n]
     return tuple(r[:, :n] for r in res)
@@ -81,11 +96,19 @@ def _mul_add_body(spec, a_ref, b_ref, c_ref, o_ref):
 
 
 def _butterfly_body(spec, lo_ref, hi_ref, w_ref, out_lo_ref, out_hi_ref):
-    """Radix-2 NTT butterfly: t = w * hi; (lo + t, lo - t)."""
+    """Radix-2 DIT butterfly: t = w * hi; (lo + t, lo - t)."""
     lo = lo_ref[...]
     t = mont.mont_mul(spec, w_ref[...], hi_ref[...])
     out_lo_ref[...] = mont.add(spec, lo, t)
     out_hi_ref[...] = mont.sub(spec, lo, t)
+
+
+def _butterfly_dif_body(spec, lo_ref, hi_ref, w_ref, out_u_ref, out_v_ref):
+    """Radix-2 DIF butterfly: (lo + hi, (lo - hi) * w)."""
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    out_u_ref[...] = mont.add(spec, lo, hi)
+    out_v_ref[...] = mont.mont_mul(spec, w_ref[...], mont.sub(spec, lo, hi))
 
 
 # ---------------------------------------------------------------------------
@@ -93,20 +116,24 @@ def _butterfly_body(spec, lo_ref, hi_ref, w_ref, out_lo_ref, out_hi_ref):
 # ---------------------------------------------------------------------------
 
 def mul(spec: FieldSpec, a, b, tile=DEFAULT_TILE, interpret=False):
-    return _elementwise_call(_mul_body, spec, (a, b), tile, interpret)
+    return _elementwise_call('_mul_body', spec, (a, b), tile, interpret)
 
 
 def add(spec: FieldSpec, a, b, tile=DEFAULT_TILE, interpret=False):
-    return _elementwise_call(_add_body, spec, (a, b), tile, interpret)
+    return _elementwise_call('_add_body', spec, (a, b), tile, interpret)
 
 
 def sub(spec: FieldSpec, a, b, tile=DEFAULT_TILE, interpret=False):
-    return _elementwise_call(_sub_body, spec, (a, b), tile, interpret)
+    return _elementwise_call('_sub_body', spec, (a, b), tile, interpret)
 
 
 def mul_add(spec: FieldSpec, a, b, c, tile=DEFAULT_TILE, interpret=False):
-    return _elementwise_call(_mul_add_body, spec, (a, b, c), tile, interpret)
+    return _elementwise_call('_mul_add_body', spec, (a, b, c), tile, interpret)
 
 
 def butterfly(spec: FieldSpec, lo, hi, w, tile=DEFAULT_TILE, interpret=False):
-    return _elementwise_call(_butterfly_body, spec, (lo, hi, w), tile, interpret, num_outputs=2)
+    return _elementwise_call('_butterfly_body', spec, (lo, hi, w), tile, interpret, num_outputs=2)
+
+
+def butterfly_dif(spec: FieldSpec, lo, hi, w, tile=DEFAULT_TILE, interpret=False):
+    return _elementwise_call('_butterfly_dif_body', spec, (lo, hi, w), tile, interpret, num_outputs=2)
