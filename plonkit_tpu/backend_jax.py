@@ -1,0 +1,252 @@
+"""JAX/TPU compute backend: the production engine behind the PLONK prover.
+
+Implements the same interface as backend.HostBackend but operates on
+device-resident FrVec handles ([16, N] uint32 Montgomery limb arrays), so a
+full proving round stays on the TPU; python ints only cross the boundary for
+file IO and transcript scalars.
+
+This replaces bellman's Worker thread pool (SURVEY §5.8) as the execution
+backend; the multi-chip variant shards these same ops over a jax Mesh
+(plonkit_tpu/parallel/).
+"""
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fields import FR_MODULUS as R, FR_GENERATOR, fr_inv
+from .tpu import ec, mont, msm as tpu_msm, ntt as tpu_ntt, pallas_kernels as pk
+from .tpu.mont import FR, NLIMBS
+
+
+class FrVec:
+    """Device-resident vector of Fr elements (Montgomery form)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        self.data = data
+
+    def __len__(self):
+        return self.data.shape[1]
+
+
+def _as_dev(v) -> jnp.ndarray:
+    return v.data if isinstance(v, FrVec) else v
+
+
+@lru_cache(maxsize=None)
+def _const_mont(value: int):
+    # host np array (NOT jnp): a cached jnp array created inside a trace
+    # would leak tracers across jit boundaries
+    return FR.to_mont_np([value % R])
+
+
+# jitted helpers -------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _scale_add_jit(interpret: bool):
+    # (a * k + c) elementwise with broadcast scalar k
+    def f(a, k, c):
+        t = pk.mul(FR, a, jnp.broadcast_to(k, a.shape), interpret=interpret)
+        return pk.add(FR, t, c, interpret=interpret)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _grand_product_jit(n: int, interpret: bool):
+    def f(factors):
+        def combine(a, b):
+            return pk.mul(FR, a, b, interpret=interpret)
+        shifted = jnp.concatenate(
+            [jnp.broadcast_to(_const_mont(1), (NLIMBS, 1)), factors[:, :-1]], axis=1)
+        return jax.lax.associative_scan(combine, shifted, axis=1)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _suffix_sums_jit(n: int, interpret: bool):
+    """S_k = sum_{j>=k} v_j via Hillis-Steele rounds (Fr add)."""
+    rounds = max(1, (n - 1).bit_length())
+
+    def f(v):
+        def body(i, p):
+            d = jnp.int32(1) << i
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+            mask = cols < (n - d)
+            shifted = jnp.where(mask[None], jnp.roll(p, -d, axis=1), 0)
+            return pk.add(FR, p, shifted, interpret=interpret)
+        return jax.lax.fori_loop(0, rounds, body, v)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _pow_vec_jit(n: int, interpret: bool):
+    """powers [1, x, x^2, ..., x^(n-1)] from broadcast scalar x (Montgomery)."""
+    def f(x_limb):
+        xs = jnp.broadcast_to(x_limb, (NLIMBS, n))
+        shifted = jnp.concatenate(
+            [jnp.broadcast_to(_const_mont(1), (NLIMBS, 1)), xs[:, :-1]], axis=1)
+        def combine(a, b):
+            return pk.mul(FR, a, b, interpret=interpret)
+        return jax.lax.associative_scan(combine, shifted, axis=1)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _inner_eval_jit(n: int, interpret: bool):
+    """sum_i c_i * p_i (elementwise mul then log-tree reduction)."""
+    def f(c, p):
+        prod = pk.mul(FR, c, p, interpret=interpret)
+        m = n
+        while m > 1:
+            half = m // 2
+            if m % 2:
+                tail = prod[:, m - 1:m]
+                prod = pk.add(FR, prod[:, :half], prod[:, half:m - 1 + 1][:, :half], interpret=interpret)
+                prod = jnp.concatenate([prod, tail], axis=1)
+                m = half + 1
+            else:
+                prod = pk.add(FR, prod[:, :half], prod[:, half:], interpret=interpret)
+                m = half
+        return prod
+    return jax.jit(f)
+
+
+class JaxBackend:
+    name = "jax"
+
+    def __init__(self, interpret: bool = False):
+        self.interpret = interpret
+        self._msm_cache = {}
+
+    # -- conversions -------------------------------------------------------
+
+    def from_ints(self, values: Sequence[int], pad_to: int = None) -> FrVec:
+        vals = list(values)
+        if pad_to is not None and len(vals) < pad_to:
+            vals = vals + [0] * (pad_to - len(vals))
+        return FrVec(jnp.asarray(FR.to_mont_np(vals)))
+
+    def to_ints(self, v: FrVec) -> List[int]:
+        return FR.from_mont_np(np.asarray(v.data))
+
+    # -- NTT ---------------------------------------------------------------
+
+    def ntt(self, v: FrVec) -> FrVec:
+        return FrVec(tpu_ntt.ntt(v.data, interpret=self.interpret))
+
+    def intt(self, v: FrVec) -> FrVec:
+        return FrVec(tpu_ntt.intt(v.data, interpret=self.interpret))
+
+    def coset_ntt(self, v: FrVec, shift: int = FR_GENERATOR) -> FrVec:
+        return FrVec(tpu_ntt.coset_ntt(v.data, shift, interpret=self.interpret))
+
+    def coset_intt(self, v: FrVec, shift: int = FR_GENERATOR) -> FrVec:
+        return FrVec(tpu_ntt.coset_intt(v.data, shift, interpret=self.interpret))
+
+    def coset_lde(self, v: FrVec, factor: int, shift: int = FR_GENERATOR) -> FrVec:
+        return FrVec(tpu_ntt.coset_lde(v.data, factor, shift, interpret=self.interpret))
+
+    # -- MSM ---------------------------------------------------------------
+
+    def msm_context(self, bases, key=None):
+        if key is not None and key in self._msm_cache:
+            ctx = self._msm_cache[key]
+            if ctx.n >= len(bases):
+                return ctx
+        n = len(bases)
+        c = 8 if n <= 4096 else 13
+        lanes = max(128, min(8192, n // 8))
+        ctx = tpu_msm.MSMContext(bases, c=c, lanes=lanes)
+        if key is not None:
+            self._msm_cache[key] = ctx
+        return ctx
+
+    def msm(self, bases, scalars: Union[FrVec, Sequence[int]]):
+        if isinstance(scalars, FrVec):
+            scalars = self.to_ints(scalars)
+        ctx = self.msm_context(bases, key=id(bases))
+        return ctx.msm(list(scalars))
+
+    # -- elementwise -------------------------------------------------------
+
+    def mul(self, a: FrVec, b: FrVec) -> FrVec:
+        return FrVec(pk.mul(FR, a.data, b.data, interpret=self.interpret))
+
+    def add(self, a: FrVec, b: FrVec) -> FrVec:
+        return FrVec(pk.add(FR, a.data, b.data, interpret=self.interpret))
+
+    def sub(self, a: FrVec, b: FrVec) -> FrVec:
+        return FrVec(pk.sub(FR, a.data, b.data, interpret=self.interpret))
+
+    def scale(self, a: FrVec, k: int) -> FrVec:
+        kv = _const_mont(k % R)
+        return FrVec(pk.mul(FR, a.data, jnp.broadcast_to(kv, a.data.shape),
+                            interpret=self.interpret))
+
+    def add_scalar(self, a: FrVec, k: int) -> FrVec:
+        kv = jnp.broadcast_to(_const_mont(k % R), a.data.shape)
+        return FrVec(pk.add(FR, a.data, kv, interpret=self.interpret))
+
+    def scale_add(self, a: FrVec, k: int, c: FrVec) -> FrVec:
+        """a * k + c in one fused dispatch."""
+        return FrVec(_scale_add_jit(self.interpret)(a.data, _const_mont(k % R), c.data))
+
+    # -- scans / reductions ------------------------------------------------
+
+    def grand_product(self, factors: FrVec) -> FrVec:
+        n = len(factors)
+        return FrVec(_grand_product_jit(n, self.interpret)(factors.data))
+
+    def batch_inverse(self, v: FrVec) -> FrVec:
+        return FrVec(mont.inverse(FR, v.data))
+
+    def powers(self, base: int, n: int) -> FrVec:
+        return FrVec(_pow_vec_jit(n, self.interpret)(_const_mont(base % R)))
+
+    def poly_eval(self, coeffs: FrVec, x: int) -> int:
+        n = len(coeffs)
+        pows = _pow_vec_jit(n, self.interpret)(_const_mont(x % R))
+        res = _inner_eval_jit(n, self.interpret)(coeffs.data, pows)
+        return FR.from_mont_np(np.asarray(res))[0]
+
+    def divide_by_linear(self, coeffs: FrVec, point: int) -> FrVec:
+        """Quotient of p(X) / (X - point), remainder dropped.
+        q_k = z^-(k+1) * S_{k+1} where S_k = suffix sum of c_j z^j."""
+        n = len(coeffs)
+        z_pows = _pow_vec_jit(n, self.interpret)(_const_mont(point % R))
+        cz = pk.mul(FR, coeffs.data, z_pows.data if isinstance(z_pows, FrVec) else z_pows,
+                    interpret=self.interpret)
+        suffix = _suffix_sums_jit(n, self.interpret)(cz)
+        # shift left by one: S_{k+1}
+        s_next = jnp.concatenate([suffix[:, 1:], jnp.zeros((NLIMBS, 1), dtype=jnp.uint32)], axis=1)
+        zinv = fr_inv(point % R)
+        zi_pows = _pow_vec_jit(n, self.interpret)(_const_mont(zinv))
+        zi_shift = pk.mul(FR, zi_pows if not isinstance(zi_pows, FrVec) else zi_pows.data,
+                          jnp.broadcast_to(_const_mont(zinv), (NLIMBS, n)),
+                          interpret=self.interpret)  # z^-(k+1)
+        q = pk.mul(FR, s_next, zi_shift, interpret=self.interpret)
+        return FrVec(q[:, :n - 1])
+
+    # -- structural --------------------------------------------------------
+
+    def slice(self, v: FrVec, start: int, stop: int) -> FrVec:
+        return FrVec(v.data[:, start:stop])
+
+    def concat(self, vs: Sequence[FrVec]) -> FrVec:
+        return FrVec(jnp.concatenate([v.data for v in vs], axis=1))
+
+    def rotate(self, v: FrVec, k: int) -> FrVec:
+        return FrVec(jnp.roll(v.data, -k, axis=1))
+
+    def tile_small(self, values: Sequence[int], total: int) -> FrVec:
+        base = jnp.asarray(FR.to_mont_np(list(values)))
+        reps = total // base.shape[1]
+        return FrVec(jnp.tile(base, (1, reps))[:, :total])
+
+    def zeros(self, n: int) -> FrVec:
+        return FrVec(jnp.zeros((NLIMBS, n), dtype=jnp.uint32))

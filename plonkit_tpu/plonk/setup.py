@@ -88,10 +88,11 @@ def make_verification_key(setup: SetupPolynomials, crs: Crs, backend=None) -> Ve
     size = setup.domain_size
     assert len(crs.g1_bases) >= size, "SRS too small for circuit"
     bases = crs.g1_bases[:size]
+    msm_ctx = backend.msm_context(bases)
 
     def commit(values):
-        coeffs = backend.intt(values)
-        return backend.msm(bases, coeffs)
+        coeffs = backend.intt(backend.from_ints(values))
+        return msm_ctx.msm(backend.to_ints(coeffs))
 
     sel_comms = [commit(setup.selectors[i]) for i in range(6)]
     next_comms = [commit(setup.selectors[6])]

@@ -65,6 +65,9 @@ def _get_kernel(body_name, spec, tile, n_padded, num_inputs, num_outputs, interp
 
 def _elementwise_call(body_name, spec, args, tile, interpret, num_outputs=1):
     n = args[0].shape[-1]
+    if n == 0:  # associative_scan recursion hits empty slices
+        empty = args[0][:, :0]
+        return empty if num_outputs == 1 else (empty,) * num_outputs
     tile = min(tile, max(128, 1 << (n - 1).bit_length()))
     padded = [_pad_to(a, tile)[0] for a in args]
     n_padded = padded[0].shape[-1]
