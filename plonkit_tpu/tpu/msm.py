@@ -163,18 +163,27 @@ class MSMContext:
     """Device-resident prepared bases for repeated MSMs over one SRS."""
 
     def __init__(self, points, c: int = 13, lanes: int = None):
-        from ..curve import g1_msm_host
         self.host_points = list(points)
         self.n = len(points)
+        x, y, inf = ec.affine_from_host(points)
+        self._init_params(x, y, inf, c, lanes)
+
+    @classmethod
+    def from_device_affine(cls, x, y, inf, c: int = 13, lanes: int = None):
+        ctx = cls.__new__(cls)
+        ctx.host_points = None
+        ctx.n = x.shape[1]
+        ctx._init_params(x, y, inf, c, lanes)
+        return ctx
+
+    def _init_params(self, x, y, inf, c, lanes):
         self.c = c
         # 255 bits: top window must absorb the signed-digit carry
         self.num_windows = -(-255 // c)
-        x, y, inf = ec.affine_from_host(points)
         self.x, self.y, self.inf = x, y, inf
         if lanes is None:
             lanes = max(128, min(8192, self.n // 32 or 128))
         self.lanes = lanes
-        num_buckets = (1 << (c - 1)) + 1
         mean = max(1, self.n // lanes)
         self.r_max = max(8, 4 * mean)
 
@@ -192,6 +201,9 @@ class MSMContext:
             tx, ty, tz, overflow = fn(self.x, self.y, self.inf, dw)
             if bool(overflow):
                 # adversarial bucket skew -- fall back to host (correctness first)
+                if self.host_points is None:
+                    raise RuntimeError(
+                        "MSM lane overflow and no host fallback points available")
                 return g1_msm_host(self.host_points, scalars)
             window_points.append((tx, ty, tz))
         # combine on host: result = sum_w 2^(c w) * W_w

@@ -101,6 +101,59 @@ def intt(values, interpret: bool = False):
     return ntt(values, inverse=True, interpret=interpret)
 
 
+# ---------------------------------------------------------------------------
+# batched transforms (for the distributed 4-step NTT in plonkit_tpu/parallel)
+# ---------------------------------------------------------------------------
+
+def _ntt_batched_impl(values, omega_pows, rev, n_inv_vec, m: int, inverse: bool,
+                      interpret: bool):
+    """values: [16, m, B] -- length-m transforms along axis 1, batched over B.
+    Same Pease constant-geometry structure; the butterfly kernel sees the
+    flattened [16, (m/2)*B] array."""
+    log_m = m.bit_length() - 1
+    half = m // 2
+    B = values.shape[2]
+    js = jax.lax.broadcasted_iota(jnp.int32, (half,), 0)
+
+    def stage(t, y):
+        y0 = y[:, :half, :].reshape(NLIMBS, half * B)
+        y1 = y[:, half:, :].reshape(NLIMBS, half * B)
+        idx = (js >> t) << t
+        tw = jnp.repeat(jnp.take(omega_pows, idx, axis=1)[:, :, None], B, axis=2)
+        tw = tw.reshape(NLIMBS, half * B)
+        u, v = pk.butterfly_dif(FR, y0, y1, tw, interpret=interpret)
+        u = u.reshape(NLIMBS, half, B)
+        v = v.reshape(NLIMBS, half, B)
+        return jnp.stack([u, v], axis=2).reshape(NLIMBS, m, B)
+
+    y = jax.lax.fori_loop(0, log_m, stage, values)
+    y = jnp.take(y, rev, axis=1)
+    if inverse:
+        scale = jnp.broadcast_to(n_inv_vec.reshape(NLIMBS, 1), (NLIMBS, m * B))
+        y = pk.mul(FR, y.reshape(NLIMBS, m * B), scale,
+                   interpret=interpret).reshape(NLIMBS, m, B)
+    return y
+
+
+@lru_cache(maxsize=None)
+def _ntt_batched_jit(m: int, inverse: bool, interpret: bool):
+    return jax.jit(partial(_ntt_batched_impl, m=m, inverse=inverse, interpret=interpret))
+
+
+def ntt_batched(values, inverse: bool = False, interpret: bool = False):
+    """values: [16, m, B] -> length-m NTTs along axis 1 (batched over axis 2)."""
+    m = values.shape[1]
+    if m == 1:
+        return values
+    omega = get_domain_omega(m)
+    if inverse:
+        omega = fr_inv(omega)
+    omega_pows = jnp.asarray(_powers_np(omega, max(m // 2, 1)))
+    rev = jnp.asarray(_bitrev_indices(m).astype(np.int32))
+    n_inv_vec = jnp.asarray(FR.to_mont_np([fr_inv(m)]))
+    return _ntt_batched_jit(m, inverse, interpret)(values, omega_pows, rev, n_inv_vec)
+
+
 def coset_scale(coeffs, shift: int, interpret: bool = False):
     """Multiply coefficient i by shift^i (for coset NTTs)."""
     n = coeffs.shape[1]

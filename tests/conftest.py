@@ -1,11 +1,23 @@
 import os
 import sys
 
-# multi-device CPU simulation for sharding tests; must be set before jax import
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# Tests run on an 8-device virtual CPU mesh.  Under the axon TPU harness a
+# sitecustomize already initialized jax on the axon backend before conftest
+# runs, so setting env vars is not enough -- force the platform switch and
+# re-create the backends (XLA_FLAGS is re-read when the CPU client is built).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+from jax.extend.backend import clear_backends  # noqa: E402
+
+clear_backends()
+assert jax.devices()[0].platform == "cpu"
+
+sys.path.insert(0, _REPO)
 
 import pytest
 
