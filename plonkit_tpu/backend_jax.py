@@ -57,14 +57,29 @@ def _scale_add_jit(interpret: bool):
 
 
 @lru_cache(maxsize=None)
-def _grand_product_jit(n: int, interpret: bool):
-    def f(factors):
-        def combine(a, b):
-            return pk.mul(FR, a, b, interpret=interpret)
-        shifted = jnp.concatenate(
-            [jnp.broadcast_to(_const_mont(1), (NLIMBS, 1)), factors[:, :-1]], axis=1)
-        return jax.lax.associative_scan(combine, shifted, axis=1)
+def _prefix_products_jit(n: int, interpret: bool):
+    """Inclusive prefix products via Hillis-Steele rounds inside a fori_loop:
+    one compiled mul per round regardless of n (associative_scan would emit
+    log(n) distinct-shape kernels)."""
+    rounds = max(1, (n - 1).bit_length())
+
+    def f(x):
+        def body(i, p):
+            d = jnp.int32(1) << i
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+            mask = cols >= d
+            rolled = jnp.roll(p, d, axis=1)
+            ones = jnp.broadcast_to(jnp.asarray(_const_mont(1)), p.shape)
+            rolled = jnp.where(mask[None], rolled, ones)
+            return pk.mul(FR, p, rolled, interpret=interpret)
+        return jax.lax.fori_loop(0, rounds, body, x)
     return jax.jit(f)
+
+
+def _shift_in_one(factors):
+    one = jnp.asarray(_const_mont(1))
+    return jnp.concatenate(
+        [jnp.broadcast_to(one, (NLIMBS, 1)), factors[:, :-1]], axis=1)
 
 
 @lru_cache(maxsize=None)
@@ -83,17 +98,10 @@ def _suffix_sums_jit(n: int, interpret: bool):
     return jax.jit(f)
 
 
-@lru_cache(maxsize=None)
-def _pow_vec_jit(n: int, interpret: bool):
-    """powers [1, x, x^2, ..., x^(n-1)] from broadcast scalar x (Montgomery)."""
-    def f(x_limb):
-        xs = jnp.broadcast_to(x_limb, (NLIMBS, n))
-        shifted = jnp.concatenate(
-            [jnp.broadcast_to(_const_mont(1), (NLIMBS, 1)), xs[:, :-1]], axis=1)
-        def combine(a, b):
-            return pk.mul(FR, a, b, interpret=interpret)
-        return jax.lax.associative_scan(combine, shifted, axis=1)
-    return jax.jit(f)
+def _pow_vec(x_limb, n: int, interpret: bool):
+    """powers [1, x, x^2, ..., x^(n-1)] from a [16,1] Montgomery scalar."""
+    xs = jnp.broadcast_to(jnp.asarray(x_limb), (NLIMBS, n))
+    return _prefix_products_jit(n, interpret)(_shift_in_one(xs))
 
 
 @lru_cache(maxsize=None)
@@ -159,9 +167,15 @@ class JaxBackend:
             if ctx.n >= len(bases):
                 return ctx
         n = len(bases)
-        c = 8 if n <= 4096 else 13
-        lanes = max(128, min(8192, n // 8))
-        ctx = tpu_msm.MSMContext(bases, c=c, lanes=lanes)
+        if n <= 4096 or jax.default_backend() == "cpu":
+            # tiny MSMs (and the CPU test backend, where the window kernel's
+            # EC fori bodies take minutes of XLA compile) run on host
+            from .backend import _HostMSMContext
+            ctx = _HostMSMContext(bases)
+        else:
+            c = 13
+            lanes = max(128, min(8192, n // 8))
+            ctx = tpu_msm.MSMContext(bases, c=c, lanes=lanes)
         if key is not None:
             self._msm_cache[key] = ctx
         return ctx
@@ -200,17 +214,17 @@ class JaxBackend:
 
     def grand_product(self, factors: FrVec) -> FrVec:
         n = len(factors)
-        return FrVec(_grand_product_jit(n, self.interpret)(factors.data))
+        return FrVec(_prefix_products_jit(n, self.interpret)(_shift_in_one(factors.data)))
 
     def batch_inverse(self, v: FrVec) -> FrVec:
         return FrVec(mont.inverse(FR, v.data))
 
     def powers(self, base: int, n: int) -> FrVec:
-        return FrVec(_pow_vec_jit(n, self.interpret)(_const_mont(base % R)))
+        return FrVec(_pow_vec(_const_mont(base % R), n, self.interpret))
 
     def poly_eval(self, coeffs: FrVec, x: int) -> int:
         n = len(coeffs)
-        pows = _pow_vec_jit(n, self.interpret)(_const_mont(x % R))
+        pows = _pow_vec(_const_mont(x % R), n, self.interpret)
         res = _inner_eval_jit(n, self.interpret)(coeffs.data, pows)
         return FR.from_mont_np(np.asarray(res))[0]
 
@@ -218,16 +232,15 @@ class JaxBackend:
         """Quotient of p(X) / (X - point), remainder dropped.
         q_k = z^-(k+1) * S_{k+1} where S_k = suffix sum of c_j z^j."""
         n = len(coeffs)
-        z_pows = _pow_vec_jit(n, self.interpret)(_const_mont(point % R))
-        cz = pk.mul(FR, coeffs.data, z_pows.data if isinstance(z_pows, FrVec) else z_pows,
-                    interpret=self.interpret)
+        z_pows = _pow_vec(_const_mont(point % R), n, self.interpret)
+        cz = pk.mul(FR, coeffs.data, z_pows, interpret=self.interpret)
         suffix = _suffix_sums_jit(n, self.interpret)(cz)
         # shift left by one: S_{k+1}
         s_next = jnp.concatenate([suffix[:, 1:], jnp.zeros((NLIMBS, 1), dtype=jnp.uint32)], axis=1)
         zinv = fr_inv(point % R)
-        zi_pows = _pow_vec_jit(n, self.interpret)(_const_mont(zinv))
-        zi_shift = pk.mul(FR, zi_pows if not isinstance(zi_pows, FrVec) else zi_pows.data,
-                          jnp.broadcast_to(_const_mont(zinv), (NLIMBS, n)),
+        zi_pows = _pow_vec(_const_mont(zinv), n, self.interpret)
+        zi_shift = pk.mul(FR, zi_pows,
+                          jnp.broadcast_to(jnp.asarray(_const_mont(zinv)), (NLIMBS, n)),
                           interpret=self.interpret)  # z^-(k+1)
         q = pk.mul(FR, s_next, zi_shift, interpret=self.interpret)
         return FrVec(q[:, :n - 1])

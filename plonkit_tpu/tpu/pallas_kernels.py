@@ -63,11 +63,39 @@ def _get_kernel(body_name, spec, tile, n_padded, num_inputs, num_outputs, interp
     return fn
 
 
+# jnp fallbacks: same limb algorithms without the pallas wrapper.  Used
+# automatically on the CPU backend (Mosaic kernels don't run there and
+# interpret mode is orders of magnitude slower); the pallas path runs on TPU
+# and under explicit interpret=True (kernel-correctness tests).
+_JNP_FALLBACK = {
+    "_mul_body": lambda spec, a, b: mont.mont_mul(spec, a, b),
+    "_add_body": lambda spec, a, b: mont.add(spec, a, b),
+    "_sub_body": lambda spec, a, b: mont.sub(spec, a, b),
+    "_mul_add_body": lambda spec, a, b, c: mont.add(spec, mont.mont_mul(spec, a, b), c),
+    "_butterfly_body": lambda spec, lo, hi, w: (
+        lambda t: (mont.add(spec, lo, t), mont.sub(spec, lo, t))
+    )(mont.mont_mul(spec, w, hi)),
+    "_butterfly_dif_body": lambda spec, lo, hi, w: (
+        mont.add(spec, lo, hi),
+        mont.mont_mul(spec, w, mont.sub(spec, lo, hi)),
+    ),
+}
+
+
+def _use_jnp_fallback():
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
 def _elementwise_call(body_name, spec, args, tile, interpret, num_outputs=1):
     n = args[0].shape[-1]
     if n == 0:  # associative_scan recursion hits empty slices
         empty = args[0][:, :0]
         return empty if num_outputs == 1 else (empty,) * num_outputs
+    if not interpret and _use_jnp_fallback():
+        return _JNP_FALLBACK[body_name](spec, *args)
     tile = min(tile, max(128, 1 << (n - 1).bit_length()))
     padded = [_pad_to(a, tile)[0] for a in args]
     n_padded = padded[0].shape[-1]

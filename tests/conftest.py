@@ -12,6 +12,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: XLA-CPU compiles of the limb graphs are slow
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from jax.extend.backend import clear_backends  # noqa: E402
 
 clear_backends()

@@ -1,6 +1,9 @@
-"""End-to-end prove on the JAX backend (CPU, Pallas interpret mode) must be
-byte-identical to the reference proof.bin -- the cross-validation that the
-device compute path implements the exact same math as the host oracle."""
+"""End-to-end prove on the JAX backend must be byte-identical to the
+reference proof.bin -- the cross-validation that the device compute path
+implements the exact same math as the host oracle.  On the CPU test backend
+the kernels use their jnp fallback (same limb algorithms, compiled); the
+pallas kernels themselves are covered by test_tpu_field.py in interpret
+mode."""
 
 import os
 
@@ -16,9 +19,10 @@ from plonkit_tpu.serialization import Crs
 @pytest.fixture(scope="module")
 def jax_backend():
     from plonkit_tpu.backend_jax import JaxBackend
-    return JaxBackend(interpret=True)
+    return JaxBackend()
 
 
+@pytest.mark.slow
 def test_jax_backend_proof_bytes(simple_dir, srs, jax_backend):
     c = CircomCircuit(
         r1cs=load_r1cs(os.path.join(simple_dir, "circuit.r1cs.json")),
@@ -33,6 +37,7 @@ def test_jax_backend_proof_bytes(simple_dir, srs, jax_backend):
     assert proof.to_bytes() == golden
 
 
+@pytest.mark.slow
 def test_jax_backend_vk_bytes(simple_dir, srs, jax_backend):
     c = CircomCircuit(r1cs=load_r1cs(os.path.join(simple_dir, "circuit.r1cs.json")))
     from plonkit_tpu.frontend.transpiler import transpile

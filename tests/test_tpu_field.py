@@ -66,7 +66,10 @@ def test_pallas_kernels_interpret():
     assert mont.FR.from_mont_np(np.asarray(hi)) == [(x - y) * x % p for x, y in zip(xs, ys)]
 
 
-@pytest.mark.parametrize("n", [8, 64, 512])
+@pytest.mark.parametrize("n", [
+    8, 64,
+    pytest.param(512, marks=pytest.mark.slow),  # ~110s in interpret mode
+])
 def test_device_ntt(n):
     from plonkit_tpu.tpu import ntt as tntt
     p = FR_MODULUS
