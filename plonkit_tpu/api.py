@@ -36,11 +36,12 @@ class AnalyseResult:
     num_hints: int
     constraint_stats: List[dict] = field(default_factory=list)
 
-    def to_json(self, include_stats: bool = True) -> str:
+    def to_json(self, include_stats: bool = True, pretty: bool = False) -> str:
         d = asdict(self)
         if not include_stats or not d["constraint_stats"]:
             d.pop("constraint_stats")
-        return json.dumps(d)
+        return json.dumps(d, indent=2 if pretty else None,
+                          separators=None if pretty else (",", ":"))
 
 
 def analyse(circuit: CircomCircuit) -> AnalyseResult:

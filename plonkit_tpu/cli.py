@@ -68,7 +68,7 @@ def cmd_analyse(args):
     circuit = _load_circuit(_resolve_circuit_file(args.circuit))
     result = api.analyse(circuit)
     with open(args.output, "w") as f:
-        f.write(result.to_json())
+        f.write(result.to_json(pretty=True))
     log.info("analyse result: %s", result.to_json(include_stats=False))
     log.info("output to %s", args.output)
 

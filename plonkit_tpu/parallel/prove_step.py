@@ -74,7 +74,8 @@ def distributed_grand_product(factors, mesh):
         offset = jax.lax.fori_loop(0, D, off_body, jnp.broadcast_to(one, (NLIMBS, 1)))
         return _mul(local, jnp.broadcast_to(offset, local.shape))
 
-    fn = jax.shard_map(body, mesh=mesh, in_specs=P(None, AXIS), out_specs=P(None, AXIS))
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(None, AXIS),
+                               out_specs=P(None, AXIS)))
     return fn(factors)
 
 
@@ -109,35 +110,38 @@ def sharded_quotient_step(mesh, wires_v, selectors_v, pi_v, x_coset,
     sel_l = [lde(m) for m in sel_m]
     pi_l = lde(pi_m)
 
-    # 3. pointwise gate evaluation on the coset (local limb math)
+    # 3. pointwise gate evaluation on the coset (local limb math).
+    # fori_loop over terms: unrolled limb graphs blow up XLA-CPU compile time.
     def gate_body(sl, wl, pil):
-        g = _mul(sl[0], wl[0])
-        g = _add(g, _mul(sl[1], wl[1]))
-        g = _add(g, _mul(sl[2], wl[2]))
-        g = _add(g, _mul(sl[3], wl[3]))
-        g = _add(g, _mul(sl[4], _mul(wl[0], wl[1])))
-        g = _add(g, sl[5])
-        # (q_d_next rotation is a ppermute in the full pipeline)
-        return _add(g, pil)
+        ab = _mul(wl[0], wl[1])
+        one = jnp.broadcast_to(
+            jnp.asarray(FR.one_mont_limbs[:, None], dtype=jnp.uint32), pil.shape)
+        terms = jnp.concatenate([wl, ab[None], one[None]], axis=0)  # [6,16,m]
 
-    gate_fn = jax.shard_map(
+        def body(i, g):
+            return _add(g, _mul(sl[i], terms[i]))
+
+        # (q_d_next rotation is a ppermute in the full pipeline)
+        return jax.lax.fori_loop(0, 6, body, pil)
+
+    gate_fn = jax.jit(jax.shard_map(
         gate_body, mesh=mesh,
         in_specs=(P(None, None, AXIS), P(None, None, AXIS), P(None, AXIS)),
-        out_specs=P(None, AXIS))
+        out_specs=P(None, AXIS)))
     gate_l = gate_fn(jnp.stack(sel_l), jnp.stack(wires_l), pi_l)
 
     def div_body(g, vinv):
         return _mul(g, vinv)
 
-    t_l = jax.shard_map(div_body, mesh=mesh,
-                        in_specs=(P(None, AXIS), P(None, AXIS)),
-                        out_specs=P(None, AXIS))(gate_l, vanishing_inv)
+    t_l = jax.jit(jax.shard_map(div_body, mesh=mesh,
+                                in_specs=(P(None, AXIS), P(None, AXIS)),
+                                out_specs=P(None, AXIS)))(gate_l, vanishing_inv)
 
     # 4. grand product over the (unextended) domain
-    factors = jax.shard_map(
+    factors = jax.jit(jax.shard_map(
         lambda w, s: _add(_mul(w, s), w),  # toy copy-factor: w*(s+1)
         mesh=mesh, in_specs=(P(None, AXIS), P(None, AXIS)),
-        out_specs=P(None, AXIS))(wires_v[0], selectors_v[0])
+        out_specs=P(None, AXIS)))(wires_v[0], selectors_v[0])
     z_v = distributed_grand_product(factors, mesh)
 
     # 5. cross-shard reduction (field checksum of t; the MSM partial combine
@@ -156,14 +160,15 @@ def sharded_quotient_step(mesh, wires_v, selectors_v, pi_v, x_coset,
             out = _add(out, partials[:, i:i + 1])
         return out
 
-    checksum = jax.shard_map(reduce_body, mesh=mesh, in_specs=P(None, AXIS),
-                             out_specs=P(None, None))(t_l)
+    checksum = jax.jit(jax.shard_map(reduce_body, mesh=mesh, in_specs=P(None, AXIS),
+                                     out_specs=P(None, None)))(t_l)
     return t_l, z_v, checksum
 
 
 def _coset_scale_sharded(x, shift_pows, mesh):
     def body(xl, pl):
         return _mul(xl, pl)
-    return jax.shard_map(body, mesh=mesh,
-                         in_specs=(P(None, AXIS), P(None, AXIS)),
-                         out_specs=P(None, AXIS))(x, jax.device_put(shift_pows, domain_sharding(mesh)))
+    return jax.jit(jax.shard_map(body, mesh=mesh,
+                                 in_specs=(P(None, AXIS), P(None, AXIS)),
+                                 out_specs=P(None, AXIS)))(
+        x, jax.device_put(shift_pows, domain_sharding(mesh)))

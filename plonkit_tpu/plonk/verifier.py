@@ -65,8 +65,23 @@ def batch_evaluate_lagrange_polys(poly_nums: List[int], domain_size: int, omega:
 
 
 def verify(vk: VerificationKey, proof: Proof) -> bool:
-    if len(proof.input_values) != vk.num_inputs or vk.num_inputs < 1:
+    pair = prepare_pairing_pair(vk, proof)
+    if pair is None:
         return False
+    pair_with_generator, pair_with_x = pair
+    g2_base = vk.g2_elements[0] if vk.g2_elements else G2_GEN
+    g2_x = vk.g2_elements[1]
+    return pairing_check([(pair_with_generator, g2_base), (pair_with_x, g2_x)])
+
+
+def prepare_pairing_pair(vk: VerificationKey, proof: Proof):
+    """Runs everything up to (but not including) the final pairing; returns
+    (pair_with_generator, pair_with_x) such that the proof is valid iff
+    e(PG, G2) * e(PX, [x]_2) == 1, or None if the gate identity fails.
+    This split is what proof aggregation builds on (the reference's
+    make_aggregate, src/recursive/mod.rs:86)."""
+    if len(proof.input_values) != vk.num_inputs or vk.num_inputs < 1:
+        return None
     domain_size = vk.domain_size
     omega = get_domain_omega(domain_size)
 
@@ -76,7 +91,7 @@ def verify(vk: VerificationKey, proof: Proof) -> bool:
     # ---- gate identity at z (template.sol:445-494) ----
     vanishing_at_z = (pow(z, domain_size, R) - 1) % R
     if vanishing_at_z == 0:
-        return False
+        return None
     lhs = vanishing_at_z * proof.quotient_polynomial_at_z % R
 
     rhs = proof.linearization_polynomial_at_z
@@ -95,7 +110,7 @@ def verify(vk: VerificationKey, proof: Proof) -> bool:
     rhs = (rhs - lagrange_at_z[0] * quotient_challenge) % R
 
     if lhs != rhs:
-        return False
+        return None
 
     # ---- reconstruct D = [linearization]_1 contribution (template.sol:496-586) ----
     power_for_z_omega_opening = 1 + 1 + STATE_WIDTH + (STATE_WIDTH - 1)  # = 9
@@ -177,6 +192,4 @@ def verify(vk: VerificationKey, proof: Proof) -> bool:
     pair_with_x = g1_add(g1_mul(proof.opening_at_z_omega_proof, u), proof.opening_at_z_proof)
     pair_with_x = g1_neg(pair_with_x)
 
-    g2_base = vk.g2_elements[0] if vk.g2_elements else G2_GEN
-    g2_x = vk.g2_elements[1]
-    return pairing_check([(pair_with_generator, g2_base), (pair_with_x, g2_x)])
+    return pair_with_generator, pair_with_x
