@@ -61,6 +61,9 @@ class HostBackend:
     def msm_context(self, bases, key=None):
         return _HostMSMContext(bases)
 
+    def msm_context_from_crs(self, crs, size: int, key=None):
+        return _HostMSMContext(crs.g1_bases[:size])
+
     def msm(self, bases, scalars):
         return g1_msm_host(bases, list(scalars))
 

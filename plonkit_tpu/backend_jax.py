@@ -180,6 +180,35 @@ class JaxBackend:
             self._msm_cache[key] = ctx
         return ctx
 
+    def msm_context_from_crs(self, crs, size: int, key=None):
+        """SRS-backed MSM context using the bulk numpy loader + on-device
+        Montgomery conversion (no per-point python ints)."""
+        if key is not None and key in self._msm_cache:
+            ctx = self._msm_cache[key]
+            if ctx.n >= size:
+                return ctx
+        if size <= 4096 or jax.default_backend() == "cpu":
+            from .backend import _HostMSMContext
+            ctx = _HostMSMContext(crs.g1_bases[:size])
+        else:
+            from .serialization import CrsHandle
+            if isinstance(crs, CrsHandle):
+                x_raw, y_raw, inf = crs.g1_limbs(size)
+            else:
+                from .tpu import ec as _ec
+                x_mont, y_mont, inf_d = _ec.affine_from_host(crs.g1_bases[:size])
+                ctx = tpu_msm.MSMContext.from_device_affine(x_mont, y_mont, inf_d)
+                if key is not None:
+                    self._msm_cache[key] = ctx
+                return ctx
+            to_mont = jax.jit(lambda r: mont.to_mont(mont.FQ, r))
+            x_mont = to_mont(jnp.asarray(x_raw))
+            y_mont = to_mont(jnp.asarray(y_raw))
+            ctx = tpu_msm.MSMContext.from_device_affine(x_mont, y_mont, jnp.asarray(inf))
+        if key is not None:
+            self._msm_cache[key] = ctx
+        return ctx
+
     def msm(self, bases, scalars: Union[FrVec, Sequence[int]]):
         if isinstance(scalars, FrVec):
             scalars = self.to_ints(scalars)

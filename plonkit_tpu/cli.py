@@ -22,7 +22,7 @@ import sys
 
 from . import api
 from .frontend import CircomCircuit, load_r1cs, load_witness
-from .serialization import Crs, Proof, VerificationKey
+from .serialization import Crs, CrsHandle, Proof, VerificationKey
 
 log = logging.getLogger("plonkit_tpu")
 
@@ -92,8 +92,8 @@ def cmd_dump_lagrange(args):
 def cmd_prove(args):
     circuit = _load_circuit(_resolve_circuit_file(args.circuit), witness=args.witness)
     setup = api.SetupForProver(
-        circuit, Crs.load(args.srs_monomial_form),
-        Crs.load(args.srs_lagrange_form) if args.srs_lagrange_form else None,
+        circuit, CrsHandle(args.srs_monomial_form),
+        CrsHandle(args.srs_lagrange_form) if args.srs_lagrange_form else None,
         backend=_backend(args))
     log.info("Proving...")
     proof = setup.prove(circuit, args.transcript)
@@ -131,7 +131,7 @@ def cmd_generate_verifier(args):
 
 def cmd_export_verification_key(args):
     circuit = _load_circuit(_resolve_circuit_file(args.circuit))
-    setup = api.SetupForProver(circuit, Crs.load(args.srs_monomial_form), backend=_backend(args))
+    setup = api.SetupForProver(circuit, CrsHandle(args.srs_monomial_form), backend=_backend(args))
     vk = setup.make_verification_key()
     _no_clobber(args.vk, args.overwrite, "vk")
     vk.save(args.vk)

@@ -128,3 +128,37 @@ def load_r1cs_from_bin(filename: str) -> R1CS:
         constraints=constraints,
         wire_mapping=wire_mapping,
     )
+
+
+def write_r1cs_bin(r1cs: R1CS, filename: str) -> None:
+    """Emit the iden3 binary .r1cs v1 format (inverse of load_r1cs_from_bin;
+    used for fixture generation and format round-trip tests)."""
+    import io
+    buf = io.BytesIO()
+
+    def lc_bytes(lc: LC) -> bytes:
+        out = struct.pack("<I", len(lc))
+        for wire, coeff in lc:
+            out += struct.pack("<I", wire) + (coeff % FR_MODULUS).to_bytes(32, "little")
+        return out
+
+    # header section (1)
+    header = struct.pack("<I", 32) + FR_MODULUS_LE_BYTES
+    wire_mapping = r1cs.wire_mapping or list(range(r1cs.num_variables))
+    n_pub_out = 0
+    n_pub_in = r1cs.num_inputs - 1
+    header += struct.pack("<IIII", r1cs.num_variables, n_pub_out, n_pub_in, 0)
+    header += struct.pack("<Q", r1cs.num_variables)
+    header += struct.pack("<I", len(r1cs.constraints))
+
+    constraints = b"".join(
+        lc_bytes(a) + lc_bytes(b) + lc_bytes(c) for a, b, c in r1cs.constraints)
+    wmap = struct.pack(f"<{len(wire_mapping)}Q", *wire_mapping)
+
+    buf.write(b"r1cs")
+    buf.write(struct.pack("<II", 1, 3))
+    for sec_type, payload in ((1, header), (2, constraints), (3, wmap)):
+        buf.write(struct.pack("<IQ", sec_type, len(payload)))
+        buf.write(payload)
+    with open(filename, "wb") as f:
+        f.write(buf.getvalue())

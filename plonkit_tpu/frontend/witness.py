@@ -60,3 +60,21 @@ def load_witness_from_bin(filename: str) -> List[int]:
         pos += 32
         out.append(v)
     return out
+
+
+def write_witness_bin(values: List[int], filename: str) -> None:
+    """Emit the circom .wtns v2 binary format (inverse of
+    load_witness_from_bin; used for fixture generation)."""
+    import io
+    buf = io.BytesIO()
+    buf.write(b"wtns")
+    buf.write(struct.pack("<II", 2, 2))
+    buf.write(struct.pack("<IQ", 1, 4 + 32 + 4))
+    buf.write(struct.pack("<I", 32))
+    buf.write(FR_MODULUS_LE_BYTES)
+    buf.write(struct.pack("<I", len(values)))
+    buf.write(struct.pack("<IQ", 2, 32 * len(values)))
+    for v in values:
+        buf.write((v % FR_MODULUS).to_bytes(32, "little"))
+    with open(filename, "wb") as f:
+        f.write(buf.getvalue())

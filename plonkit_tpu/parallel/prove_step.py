@@ -68,7 +68,8 @@ def distributed_grand_product(factors, mesh):
 
         def off_body(i, acc):
             use = i < my
-            t = jnp.where(use, totals[:, i:i + 1], jnp.broadcast_to(one, (NLIMBS, 1)))
+            ti = jax.lax.dynamic_slice_in_dim(totals, i, 1, axis=1)
+            t = jnp.where(use, ti, jnp.broadcast_to(one, (NLIMBS, 1)))
             return _mul(acc, t)
 
         offset = jax.lax.fori_loop(0, D, off_body, jnp.broadcast_to(one, (NLIMBS, 1)))

@@ -60,9 +60,9 @@ class ProverContext:
         self.backend = backend
         self.setup = setup
         size = setup.domain_size
-        assert len(crs.g1_bases) >= size, "SRS too small for circuit"
-        self.bases = crs.g1_bases[:size]
-        self.msm_ctx = backend.msm_context(self.bases)
+        num_g1 = getattr(crs, "num_g1", None) or len(crs.g1_bases)
+        assert num_g1 >= size, "SRS too small for circuit"
+        self.msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
         b = backend
         self.sel_m = [b.intt(b.from_ints(s)) for s in setup.selectors]
         self.sigma_m = [b.intt(b.from_ints(s)) for s in setup.permutations]

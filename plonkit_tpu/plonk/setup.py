@@ -86,9 +86,9 @@ def make_verification_key(setup: SetupPolynomials, crs: Crs, backend=None) -> Ve
         from ..backend import default_backend
         backend = default_backend()
     size = setup.domain_size
-    assert len(crs.g1_bases) >= size, "SRS too small for circuit"
-    bases = crs.g1_bases[:size]
-    msm_ctx = backend.msm_context(bases)
+    num_g1 = getattr(crs, "num_g1", None) or len(crs.g1_bases)
+    assert num_g1 >= size, "SRS too small for circuit"
+    msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
 
     def commit(values):
         coeffs = backend.intt(backend.from_ints(values))
