@@ -72,7 +72,10 @@ def distributed_grand_product(factors, mesh):
             t = jnp.where(use, ti, jnp.broadcast_to(one, (NLIMBS, 1)))
             return _mul(acc, t)
 
-        offset = jax.lax.fori_loop(0, D, off_body, jnp.broadcast_to(one, (NLIMBS, 1)))
+        init = jnp.broadcast_to(one, (NLIMBS, 1))
+        # the carry becomes device-varying (it depends on axis_index)
+        init = jax.lax.pcast(init, (AXIS,), to="varying")
+        offset = jax.lax.fori_loop(0, D, off_body, init)
         return _mul(local, jnp.broadcast_to(offset, local.shape))
 
     fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(None, AXIS),
@@ -162,7 +165,7 @@ def sharded_quotient_step(mesh, wires_v, selectors_v, pi_v, x_coset,
         return out
 
     checksum = jax.jit(jax.shard_map(reduce_body, mesh=mesh, in_specs=P(None, AXIS),
-                                     out_specs=P(None, None)))(t_l)
+                                     out_specs=P(None, None), check_vma=False))(t_l)
     return t_l, z_v, checksum
 
 

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Full prove wall-time benchmark on a synthetic circuit of ~2^k constraints
+(the BASELINE.md "full prove wall-time" metric).
+
+Generates a multiplication-chain circuit (z_{i+1} = z_i^2 + z_i), dev SRS on
+device, then times SetupForProver.prove end to end (plus a breakdown).
+
+Usage: python scripts/bench_prove.py [log2_constraints] [--backend host|jax]
+"""
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from plonkit_tpu.fields import FR_MODULUS as R
+from plonkit_tpu.frontend.circuit import CircomCircuit
+from plonkit_tpu.frontend.r1cs import R1CS
+
+
+def synth_circuit(k: int):
+    """~2^k constraints: z_{i+1} = z_i * z_i + z_i, one public output."""
+    n = (1 << k) - 2  # leave room for the input gate + padding row
+    rng = random.Random(99)
+    z = [rng.randrange(R)]
+    for _ in range(n):
+        z.append((z[-1] * z[-1] + z[-1]) % R)
+    # wires: 0 = ONE, 1 = z_n (public), 2..n+1 = z_0..z_{n-1}
+    wires = [z[n]] + z[:n]
+    constraints = []
+    for i in range(n):
+        zi = 2 + i
+        znext = 1 if i == n - 1 else 3 + i
+        constraints.append(([(zi, 1)], [(zi, 1)], [(znext, 1), (zi, R - 1)]))
+    r1cs = R1CS(num_inputs=2, num_aux=n, num_variables=n + 2, constraints=constraints)
+    return CircomCircuit(r1cs=r1cs, witness=[1] + wires)
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+    backend_name = "jax"
+    if "--backend" in sys.argv:
+        backend_name = sys.argv[sys.argv.index("--backend") + 1]
+
+    import jax
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    t0 = time.time()
+    circuit = synth_circuit(k)
+    print(f"synth circuit 2^{k}: {time.time()-t0:.1f}s "
+          f"({len(circuit.r1cs.constraints)} constraints)", file=sys.stderr)
+
+    # dev SRS on device (tau=42)
+    from plonkit_tpu.curve import G2_GEN, g2_mul
+    from plonkit_tpu.serialization import Crs
+    from plonkit_tpu.tpu.fixed_base import gen_crs_g1_device
+    t0 = time.time()
+    g1 = gen_crs_g1_device(k)
+    crs = Crs(g1, [G2_GEN, g2_mul(G2_GEN, 42)])
+    print(f"dev SRS 2^{k} on device: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if backend_name == "host":
+        from plonkit_tpu.backend import HostBackend
+        backend = HostBackend()
+    else:
+        from plonkit_tpu.backend_jax import JaxBackend
+        backend = JaxBackend()
+
+    from plonkit_tpu.api import SetupForProver, verify
+
+    t0 = time.time()
+    setup = SetupForProver(circuit, crs, backend=backend)
+    print(f"transpile+setup: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    proof = setup.prove(circuit)
+    t_first = time.time() - t0
+    print(f"prove (cold, incl. compile): {t_first:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    proof = setup.prove(circuit)
+    t_warm = time.time() - t0
+    print(f"prove (warm): {t_warm:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    vk = setup.make_verification_key()
+    print(f"make vk: {time.time()-t0:.1f}s", file=sys.stderr)
+    assert verify(vk, proof), "proof must verify"
+    print(f"verified OK; proof bytes: {len(proof.to_bytes())}", file=sys.stderr)
+
+    import json
+    print(json.dumps({
+        "metric": f"prove_wall_time_2^{k}",
+        "value": round(t_warm, 2),
+        "unit": "s",
+        "backend": backend.name,
+    }))
+
+
+if __name__ == "__main__":
+    main()
