@@ -58,8 +58,7 @@ def main():
     log(f"bases ready in {time.time() - t0:.1f}s")
 
     # build MSM context directly from device affine arrays
-    ctx = MSMContext.from_device_affine(x, y, inf, c=13,
-                                        lanes=max(128, min(8192, n // 8)))
+    ctx = MSMContext.from_device_affine(x, y, inf, c=13)
 
     scalars = [rng.randrange(R) for _ in range(n)]
 

@@ -204,7 +204,7 @@ class JaxBackend:
             to_mont = jax.jit(lambda r: mont.to_mont(mont.FQ, r))
             x_mont = to_mont(jnp.asarray(x_raw))
             y_mont = to_mont(jnp.asarray(y_raw))
-            ctx = tpu_msm.MSMContext.from_device_affine(x_mont, y_mont, jnp.asarray(inf))
+            ctx = tpu_msm.MSMContext.from_device_affine(x_mont, y_mont, jnp.asarray(inf), c=13)
         if key is not None:
             self._msm_cache[key] = ctx
         return ctx

@@ -181,11 +181,17 @@ class MSMContext:
         # 255 bits: top window must absorb the signed-digit carry
         self.num_windows = -(-255 // c)
         self.x, self.y, self.inf = x, y, inf
+        num_buckets = (1 << (c - 1)) + 1
         if lanes is None:
-            lanes = max(128, min(8192, self.n // 32 or 128))
+            # each lane must own several buckets so per-lane load averages
+            # out bucket-count variance (Poisson tails); cap so the serial
+            # accumulation depth r_max stays reasonable
+            lanes = max(128, min(2048, num_buckets // 4, self.n // 16 or 128))
         self.lanes = lanes
         mean = max(1, self.n // lanes)
-        self.r_max = max(8, 4 * mean)
+        # 4x mean + slack: overflow probability is cryptographically small
+        # for uniform scalars (checked on device regardless)
+        self.r_max = 4 * mean + 64
 
     def msm(self, scalars) -> "host affine point":
         """scalars: list of python ints (len <= n). Returns host affine point."""

@@ -47,22 +47,23 @@ def _powers_np(base: int, n: int) -> np.ndarray:
 
 
 def _ntt_impl(values, omega_pows, rev, n_inv_vec, n: int, inverse: bool, interpret: bool):
-    """omega_pows: [16, n/2] Montgomery powers of the domain root; the stage-t
-    Pease table tw[t][j] = omega^((j >> t) << t) is gathered on the fly (big
-    per-stage tables would blow up memory / compile payloads)."""
+    """omega_pows: [16, n/2] Montgomery powers of the domain root.  Stages
+    are unrolled (all share one kernel shape) so the stage-t Pease table
+    tw[t][j] = omega^((j >> t) << t) becomes a static strided slice +
+    broadcast-repeat -- pure layout ops, no runtime gathers (a per-stage
+    gather measured ~100x slower than the butterfly itself at 2^20)."""
     log_n = n.bit_length() - 1
     half = n // 2
-    js = jax.lax.broadcasted_iota(jnp.int32, (half,), 0)
 
-    def stage(t, y):
+    y = values
+    for t in range(log_n):
         y0 = y[:, :half]
         y1 = y[:, half:]
-        idx = (js >> t) << t
-        tw = jnp.take(omega_pows, idx, axis=1)
+        distinct = omega_pows[:, :: 1 << t][:, : half >> t]       # [16, half/2^t]
+        tw = jnp.repeat(distinct, 1 << t, axis=1, total_repeat_length=half)
         u, v = pk.butterfly_dif(FR, y0, y1, tw, interpret=interpret)
-        return jnp.stack([u, v], axis=-1).reshape(NLIMBS, n)
+        y = jnp.stack([u, v], axis=-1).reshape(NLIMBS, n)
 
-    y = jax.lax.fori_loop(0, log_n, stage, values)
     y = jnp.take(y, rev, axis=1)
     if inverse:
         y = pk.mul(FR, y, jnp.broadcast_to(n_inv_vec, y.shape), interpret=interpret)
