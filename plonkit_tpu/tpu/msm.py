@@ -62,12 +62,14 @@ def signed_digits_np(scalars, c: int, num_windows: int) -> np.ndarray:
     return digits.astype(np.int32)
 
 
-def _window_kernel(x, y, inf, digits, *, n_pad, c, lanes, r_max):
+def _window_kernel(x, y, inf, digits, *, n_pad, c, lanes, r_max, bpl):
     """One Pippenger window entirely on device.
 
     x, y: [16, n_pad] affine Montgomery coords; inf: [n_pad] bool;
-    digits: [n_pad] int32 signed.  Returns (bucket-reduced Jacobian point
-    [16, 1] x3, overflow flag)."""
+    digits: [n_pad] int32 signed; bpl: buckets per lane (the top window has
+    a truncated digit range, so its partition must cover fewer keys or all
+    points collapse into a handful of lanes).  Returns (bucket-reduced
+    Jacobian point [16, 1] x3, overflow flag)."""
     num_buckets = (1 << (c - 1)) + 1          # bucket 0 unused + 1..2^(c-1)
     dump = num_buckets                        # extra dump column
 
@@ -83,7 +85,6 @@ def _window_kernel(x, y, inf, digits, *, n_pad, c, lanes, r_max):
     ys = jnp.take(y_signed, perm, axis=1)
 
     # lane-partitioned layout: lane l owns buckets [l*bpl, (l+1)*bpl)
-    bpl = -(-num_buckets // lanes)  # buckets per lane
     lane_start_keys = jnp.arange(lanes, dtype=jnp.int32) * bpl
     starts = jnp.searchsorted(keys_sorted, lane_start_keys, side="left").astype(jnp.int32)
     ends = jnp.concatenate([starts[1:], jnp.asarray([n_pad], dtype=jnp.int32)])
@@ -155,8 +156,9 @@ def _window_kernel(x, y, inf, digits, *, n_pad, c, lanes, r_max):
 
 
 @lru_cache(maxsize=None)
-def _window_jit(n_pad, c, lanes, r_max, interpret_unused):
-    return jax.jit(partial(_window_kernel, n_pad=n_pad, c=c, lanes=lanes, r_max=r_max))
+def _window_jit(n_pad, c, lanes, r_max, bpl):
+    return jax.jit(partial(_window_kernel, n_pad=n_pad, c=c, lanes=lanes,
+                           r_max=r_max, bpl=bpl))
 
 
 class MSMContext:
@@ -188,10 +190,22 @@ class MSMContext:
             # accumulation depth r_max stays reasonable
             lanes = max(128, min(2048, num_buckets // 4, self.n // 16 or 128))
         self.lanes = lanes
-        mean = max(1, self.n // lanes)
-        # 4x mean + slack: overflow probability is cryptographically small
-        # for uniform scalars (checked on device regardless)
-        self.r_max = 4 * mean + 64
+        # per-window partition: the top window's digit magnitude is bounded
+        # by 2^(255 - (W-1)*c), usually far below 2^(c-1)
+        self.window_params = []
+        for w in range(self.num_windows):
+            if w == self.num_windows - 1:
+                top_bits = max(1, 255 - w * c)
+                key_hi = min((1 << (c - 1)), 1 << top_bits) + 1
+            else:
+                key_hi = (1 << (c - 1)) + 1
+            bpl = -(-key_hi // lanes)
+            eff_lanes = min(lanes, -(-key_hi // bpl))
+            mean = max(1, self.n // eff_lanes)
+            # 4x mean + slack: overflow probability is cryptographically
+            # small for uniform scalars (checked on device regardless)
+            r_max = 4 * mean + 64
+            self.window_params.append((bpl, r_max))
 
     def msm(self, scalars) -> "host affine point":
         """scalars: list of python ints (len <= n). Returns host affine point."""
@@ -200,9 +214,10 @@ class MSMContext:
         if len(scalars) < self.n:
             scalars = scalars + [0] * (self.n - len(scalars))
         digits = signed_digits_np(scalars, self.c, self.num_windows)
-        fn = _window_jit(self.n, self.c, self.lanes, self.r_max, False)
         window_points = []
         for w in range(self.num_windows):
+            bpl, r_max = self.window_params[w]
+            fn = _window_jit(self.n, self.c, self.lanes, r_max, bpl)
             dw = jnp.asarray(digits[w])
             tx, ty, tz, overflow = fn(self.x, self.y, self.inf, dw)
             if bool(overflow):
