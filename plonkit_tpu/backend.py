@@ -24,6 +24,10 @@ class _HostMSMContext:
         self.n = len(self.bases)
 
     def msm(self, scalars):
+        from .native import msm_native
+        res = msm_native(self.bases, list(scalars))
+        if res is not False:
+            return res
         return g1_msm_host(self.bases, list(scalars))
 
 

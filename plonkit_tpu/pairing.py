@@ -236,7 +236,17 @@ def pairing(g1_pt, g2_pt):
 
 
 def pairing_check(pairs):
-    """True iff prod e(P_i, Q_i) == 1 (EVM 0x08 precompile semantics)."""
+    """True iff prod e(P_i, Q_i) == 1 (EVM 0x08 precompile semantics).
+    Uses the native BN254 library when available (~40x faster); this pure
+    python path is the fallback and differential-test oracle."""
+    from .native import pairing_check_native
+    res = pairing_check_native(pairs)
+    if res is not None:
+        return res
+    return pairing_check_py(pairs)
+
+
+def pairing_check_py(pairs):
     f = _FQ12_ONE
     for g1_pt, g2_pt in pairs:
         f = _fq12_mul(f, miller_loop(g2_pt, g1_pt))

@@ -225,6 +225,10 @@ class MSMContext:
                 if self.host_points is None:
                     raise RuntimeError(
                         "MSM lane overflow and no host fallback points available")
+                from ..native import msm_native
+                res = msm_native(self.host_points, scalars)
+                if res is not False:
+                    return res
                 return g1_msm_host(self.host_points, scalars)
             window_points.append((tx, ty, tz))
         # combine on host: result = sum_w 2^(c w) * W_w
