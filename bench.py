@@ -28,11 +28,20 @@ def log(*args):
 
 
 def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
     import random
 
     import jax
     import numpy as np
+
+    # XLA compiles of the limb kernels take minutes through the remote-compile
+    # tunnel; persist them so repeat bench runs start hot.
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     log(f"devices: {jax.devices()}")
 
