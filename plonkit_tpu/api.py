@@ -146,18 +146,15 @@ class SetupForProver:
         validate_witness(self.setup_polynomials, cols, pub)
 
     def prove(self, circuit: CircomCircuit, transcript: str = "keccak") -> Proof:
-        if transcript != "keccak":
-            raise NotImplementedError("rescue transcript lands with the recursive stack")
         _, cols, pub = synthesize_witness(circuit)
         if self._prover_ctx is None:
             self._prover_ctx = ProverContext(self.setup_polynomials, self.crs, self.backend)
-        return _prove(self.setup_polynomials, cols, pub, ctx=self._prover_ctx)
+        return _prove(self.setup_polynomials, cols, pub, ctx=self._prover_ctx,
+                      transcript=transcript)
 
     def get_srs_lagrange_form_from_monomial_form(self) -> Crs:
         return crs_lagrange_form(self.crs, self.setup_polynomials.domain_size)
 
 
 def verify(vk: VerificationKey, proof: Proof, transcript: str = "keccak") -> bool:
-    if transcript != "keccak":
-        raise NotImplementedError("rescue transcript lands with the recursive stack")
-    return _verify(vk, proof)
+    return _verify(vk, proof, transcript)

@@ -20,7 +20,7 @@ from typing import List
 
 from ..fields import FR_MODULUS as R, FR_GENERATOR, fr_inv, get_domain_omega
 from ..serialization import Crs, Proof
-from ..transcript import Transcript
+from ..transcript import make_transcript
 from .setup import K_COLS, STATE_WIDTH, SetupPolynomials
 
 LDE_FACTOR = 4
@@ -93,7 +93,8 @@ class ProverContext:
 
 def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
           public_inputs: List[int], crs: Crs = None, backend=None,
-          ctx: ProverContext = None, skip_validation: bool = False) -> Proof:
+          ctx: ProverContext = None, skip_validation: bool = False,
+          transcript: str = "keccak") -> Proof:
     if ctx is None:
         ctx = ProverContext(setup, crs, backend)
     b = ctx.backend
@@ -104,7 +105,7 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     if not skip_validation:
         validate_witness(setup, wire_columns, public_inputs)
 
-    transcript = Transcript()
+    transcript = make_transcript(transcript)
     for x in public_inputs:
         transcript.update_u256(x)
 

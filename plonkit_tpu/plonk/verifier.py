@@ -12,14 +12,14 @@ from ..curve import G1_GEN, G2_GEN, g1_add, g1_mul, g1_neg
 from ..fields import FR_MODULUS as R, batch_inverse, get_domain_omega
 from ..pairing import pairing_check
 from ..serialization import Proof, VerificationKey
-from ..transcript import Transcript
+from ..transcript import make_transcript
 
 STATE_WIDTH = 4
 
 
-def _derive_challenges(proof: Proof, vk: VerificationKey):
+def _derive_challenges(proof: Proof, vk: VerificationKey, transcript: str = "keccak"):
     """Fiat-Shamir challenge derivation order: template.sol:691-755."""
-    t = Transcript()
+    t = make_transcript(transcript)
     for v in proof.input_values:
         t.update_u256(v)
     for p in proof.wire_commitments:
@@ -64,8 +64,8 @@ def batch_evaluate_lagrange_polys(poly_nums: List[int], domain_size: int, omega:
     return [n * d % R for n, d in zip(nums, inv_dens)]
 
 
-def verify(vk: VerificationKey, proof: Proof) -> bool:
-    pair = prepare_pairing_pair(vk, proof)
+def verify(vk: VerificationKey, proof: Proof, transcript: str = "keccak") -> bool:
+    pair = prepare_pairing_pair(vk, proof, transcript)
     if pair is None:
         return False
     pair_with_generator, pair_with_x = pair
@@ -74,7 +74,7 @@ def verify(vk: VerificationKey, proof: Proof) -> bool:
     return pairing_check([(pair_with_generator, g2_base), (pair_with_x, g2_x)])
 
 
-def prepare_pairing_pair(vk: VerificationKey, proof: Proof):
+def prepare_pairing_pair(vk: VerificationKey, proof: Proof, transcript: str = "keccak"):
     """Runs everything up to (but not including) the final pairing; returns
     (pair_with_generator, pair_with_x) such that the proof is valid iff
     e(PG, G2) * e(PX, [x]_2) == 1, or None if the gate identity fails.
@@ -85,7 +85,7 @@ def prepare_pairing_pair(vk: VerificationKey, proof: Proof):
     domain_size = vk.domain_size
     omega = get_domain_omega(domain_size)
 
-    beta, gamma, alpha, z, v, u = _derive_challenges(proof, vk)
+    beta, gamma, alpha, z, v, u = _derive_challenges(proof, vk, transcript)
     lagrange_at_z = batch_evaluate_lagrange_polys(list(range(vk.num_inputs)), domain_size, omega, z)
 
     # ---- gate identity at z (template.sol:445-494) ----

@@ -94,6 +94,10 @@ class RescueTranscript:
     def update_fr(self, value: int):
         self._absorbed.append(value % R)
 
+    def update_u256(self, value: int):
+        # public inputs / scalars are absorbed as Fr elements
+        self.update_fr(value)
+
     def update_g1(self, p):
         from .rns import fq_to_double_limbs
         if p is None:

@@ -19,6 +19,18 @@ _DST_1 = (1).to_bytes(4, "big")
 _DST_CHALLENGE = (2).to_bytes(4, "big")
 
 
+def make_transcript(kind: str = "keccak"):
+    """Transcript factory: "keccak" (RollingKeccakTranscript-compatible) or
+    "rescue" (algebraic, cheap to re-derive inside the aggregation circuit;
+    the reference's `prove -t rescue`, src/plonk.rs:160-170)."""
+    if kind == "keccak":
+        return Transcript()
+    if kind == "rescue":
+        from .recursive.rescue import RescueTranscript
+        return RescueTranscript()
+    raise ValueError(f"unknown transcript type: {kind!r}")
+
+
 class Transcript:
     def __init__(self):
         self.state_0 = b"\x00" * 32
