@@ -1,0 +1,644 @@
+"""Second-generation gate system: width-4 + D-next main gate PLUS a
+two-bit-decomposition range-check custom gate.
+
+Behavioral parity target: bellman_ce's better_better_cs constraint system
+(PlonkCsWidth4WithNextStepAndCustomGatesParams + the TwoBitDecomposition
+range-check custom gate), which the reference uses exclusively for the
+recursive aggregation circuit (/root/reference/src/recursive/mod.rs:8-14,
+111-127, SURVEY D1i).  The protocol here is self-defined (proof/vk formats
+are this framework's own, as the reference's are its dependency's own): the
+aggregated proof must round-trip through prove2/verify2 and the generated
+recursive Solidity verifier, not match foreign bytes.
+
+Gate equations (row i, state wires a,b,c,d, next-row wire d'):
+
+  main gate (selectors q_a..q_d, q_m, q_const, q_dnext):
+      q_a a + q_b b + q_c c + q_d d + q_m a b + q_const + q_dnext d' + PI = 0
+
+  range gate (selector q_range), with g(e) = e(e-1)(e-2)(e-3):
+      C1 = g(c - 4d)   C2 = g(b - 4c)   C3 = g(a - 4b)   C4 = g(d' - 4a)
+  i.e. the accumulator runs d -> c -> b -> a -> next d, two bits per hop
+  (8 bits per row).  g has degree 4 in the wires, so q_range * C_k has
+  degree 5(N-1) -- the same bound as the copy-permutation term -- and the
+  quotient still fits the 4N coset LDE with 4 chunks.
+
+Quotient combination (alpha powers, this framework's fixed order):
+  alpha^0 main+PI | alpha^1..4 C1..C4 | alpha^5 permutation | alpha^6 L0(z-1)
+
+The verification key carries 12 commitments (6 selector + 1 next-step +
+1 range + 4 permutation).  The proof layout is identical to the base
+system's Proof (4 quotient chunks, same evaluation set) -- the range-gate
+contribution folds entirely into the linearization polynomial r(X) since
+all four C_k are evaluable from the proof's wire evaluations at zeta and
+zeta*omega.
+"""
+
+import struct
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from ..fields import FR_MODULUS as R, FR_GENERATOR, NON_RESIDUES, fr_inv, get_domain_omega
+from ..serialization import (Crs, Proof, read_fr, read_g1, read_u64, write_fr,
+                             write_g1, write_g2, read_g2, write_u64)
+from ..transcript import make_transcript
+
+STATE_WIDTH = 4
+NUM_SELECTORS = 8          # q_a q_b q_c q_d q_m q_const q_dnext q_range
+Q_RANGE = 7
+LDE_FACTOR = 4
+K_COLS = (1,) + NON_RESIDUES
+
+
+@dataclass
+class SetupPolynomials2:
+    """Value-form setup polynomials for the extended system."""
+    n: int
+    num_inputs: int
+    selectors: List[List[int]]      # 8 vectors
+    permutations: List[List[int]]   # 4 sigma vectors
+
+    @property
+    def domain_size(self) -> int:
+        return self.n + 1
+
+
+@dataclass
+class VerificationKey2:
+    """Extended-system vk ('recursive verification key' at the CLI surface,
+    mirroring the role of the reference's better_better_cs
+    VerificationKey<E, RecursiveAggregationCircuit>)."""
+    n: int
+    num_inputs: int
+    selector_commitments: List[Tuple[int, int]]            # 6
+    next_step_selector_commitments: List[Tuple[int, int]]  # 1
+    range_selector_commitments: List[Tuple[int, int]]      # 1
+    permutation_commitments: List[Tuple[int, int]]         # 4
+    non_residues: List[int]
+    g2_elements: List[tuple]
+
+    @property
+    def domain_size(self) -> int:
+        return self.n + 1
+
+    def write(self, w):
+        write_u64(w, self.n)
+        write_u64(w, self.num_inputs)
+        for group in (self.selector_commitments, self.next_step_selector_commitments,
+                      self.range_selector_commitments, self.permutation_commitments):
+            for p in group:
+                write_g1(w, p)
+        for k in self.non_residues:
+            write_fr(w, k)
+        for g2 in self.g2_elements:
+            write_g2(w, g2)
+
+    @classmethod
+    def read(cls, r):
+        n = read_u64(r)
+        num_inputs = read_u64(r)
+        sel = [read_g1(r) for _ in range(6)]
+        nxt = [read_g1(r)]
+        rng = [read_g1(r)]
+        perm = [read_g1(r) for _ in range(STATE_WIDTH)]
+        non_res = [read_fr(r) for _ in range(3)]
+        g2 = [read_g2(r) for _ in range(2)]
+        return cls(n, num_inputs, sel, nxt, rng, perm, non_res, g2)
+
+    def save(self, filename: str):
+        with open(filename, "wb") as f:
+            self.write(f)
+
+    @classmethod
+    def load(cls, filename: str):
+        with open(filename, "rb") as f:
+            return cls.read(f)
+
+
+def domain_size_for_gates(total_gates: int) -> int:
+    size = 1
+    while size - 1 < total_gates:
+        size <<= 1
+    return size
+
+
+def make_setup_polynomials2(num_inputs: int, input_vars: List[int],
+                            wires, selectors_rows) -> SetupPolynomials2:
+    """Build setup polynomials from raw synthesized arrays.
+
+    wires: list of rows, each a 4-tuple of variable indices (0 = dummy,
+    excluded from copy constraints).  selectors_rows: list of 8-tuples.
+    Input gates (one per public input, q_a=-1, wire in column a) are
+    generated here and PREPENDED, matching the base system's convention so
+    PI(X) = sum_i x_i L_i(X)."""
+    total = num_inputs + len(wires)
+    size = domain_size_for_gates(total)
+    n = size - 1
+    omega = get_domain_omega(size)
+
+    selectors = [[0] * size for _ in range(NUM_SELECTORS)]
+    for row, v in enumerate(input_vars):
+        selectors[0][row] = R - 1
+    for row, q in enumerate(selectors_rows):
+        base = num_inputs + row
+        for k in range(NUM_SELECTORS):
+            if q[k]:
+                selectors[k][base] = q[k] % R
+
+    positions = {}
+    for row, var in enumerate(input_vars):
+        positions.setdefault(var, []).append((row, 0))
+    for row, ws in enumerate(wires):
+        base = num_inputs + row
+        for col in range(STATE_WIDTH):
+            var = ws[col]
+            if var == 0:
+                continue
+            positions.setdefault(var, []).append((base, col))
+
+    omega_pows = [1] * size
+    for i in range(1, size):
+        omega_pows[i] = omega_pows[i - 1] * omega % R
+
+    sigma = [[K_COLS[c] * omega_pows[r] % R for r in range(size)]
+             for c in range(STATE_WIDTH)]
+    for plist in positions.values():
+        if len(plist) < 2:
+            continue
+        labels = [K_COLS[c] * omega_pows[r] % R for (r, c) in plist]
+        rotated = labels[1:] + labels[:1]
+        for (r, c), lab in zip(plist, rotated):
+            sigma[c][r] = lab
+
+    return SetupPolynomials2(n=n, num_inputs=num_inputs,
+                             selectors=selectors, permutations=sigma)
+
+
+def make_verification_key2(setup: SetupPolynomials2, crs: Crs, backend=None) -> VerificationKey2:
+    if backend is None:
+        from ..backend import default_backend
+        backend = default_backend()
+    size = setup.domain_size
+    num_g1 = getattr(crs, "num_g1", None) or len(crs.g1_bases)
+    assert num_g1 >= size, "SRS too small for circuit"
+    msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
+
+    def commit(values):
+        coeffs = backend.intt(backend.from_ints(values))
+        return msm_ctx.msm(backend.to_ints(coeffs))
+
+    sel = [commit(setup.selectors[i]) for i in range(6)]
+    nxt = [commit(setup.selectors[6])]
+    rng = [commit(setup.selectors[Q_RANGE])]
+    perm = [commit(setup.permutations[i]) for i in range(STATE_WIDTH)]
+    return VerificationKey2(
+        n=setup.n, num_inputs=setup.num_inputs,
+        selector_commitments=sel, next_step_selector_commitments=nxt,
+        range_selector_commitments=rng, permutation_commitments=perm,
+        non_residues=list(NON_RESIDUES), g2_elements=list(crs.g2_monomial_bases[:2]))
+
+
+def _range_terms_eval(a, b, c, d, d_next, alpha):
+    """sum_{k=1..4} alpha^k * C_k evaluated on scalars."""
+    total = 0
+    apow = 1
+    for e in ((c - 4 * d) % R, (b - 4 * c) % R, (a - 4 * b) % R, (d_next - 4 * a) % R):
+        apow = apow * alpha % R
+        t1 = (e * e - 3 * e) % R
+        total = (total + apow * (t1 * (t1 + 2) % R)) % R
+    return total
+
+
+class ProverError(Exception):
+    pass
+
+
+def validate_witness2(setup: SetupPolynomials2, wire_columns: List[List[int]],
+                      public_inputs: List[int]) -> None:
+    """TrivialAssembly-style satisfiability check (main + range gates)."""
+    size = setup.domain_size
+    cols = [list(col) + [0] * (size - len(col)) for col in wire_columns]
+    q = setup.selectors
+    for row in range(size):
+        a, b, c, d = (cols[j][row] for j in range(4))
+        d_next = cols[3][(row + 1) % size]
+        pi = public_inputs[row] if row < len(public_inputs) else 0
+        acc = (q[0][row] * a + q[1][row] * b + q[2][row] * c + q[3][row] * d
+               + q[4][row] * a * b + q[5][row] + q[6][row] * d_next + pi) % R
+        if acc != 0:
+            raise ProverError(f"main gate not satisfied at row {row}")
+        if q[Q_RANGE][row]:
+            for e in ((c - 4 * d) % R, (b - 4 * c) % R, (a - 4 * b) % R,
+                      (d_next - 4 * a) % R):
+                if q[Q_RANGE][row] * e * ((e - 1) % R) % R * ((e - 2) % R) % R \
+                        * ((e - 3) % R) % R != 0:
+                    raise ProverError(f"range gate not satisfied at row {row}")
+
+
+class ProverContext2:
+    """Device-resident reusable prover state (mirrors prover.ProverContext,
+    extended with the range selector)."""
+
+    def __init__(self, setup: SetupPolynomials2, crs: Crs, backend=None):
+        if backend is None:
+            from ..backend import default_backend
+            backend = default_backend()
+        self.backend = backend
+        self.setup = setup
+        size = setup.domain_size
+        num_g1 = getattr(crs, "num_g1", None) or len(crs.g1_bases)
+        assert num_g1 >= size, "SRS too small for circuit"
+        self.msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
+        b = backend
+        self.sel_m = [b.intt(b.from_ints(s)) for s in setup.selectors]
+        self.sigma_m = [b.intt(b.from_ints(s)) for s in setup.permutations]
+        self.sel_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sel_m]
+        self.sigma_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sigma_m]
+        self.sigma_v = [b.from_ints(s) for s in setup.permutations]
+        l0 = [0] * size
+        l0[0] = 1
+        self.l0_l = b.coset_lde(b.intt(b.from_ints(l0)), LDE_FACTOR)
+        ext = LDE_FACTOR * size
+        eta = get_domain_omega(ext)
+        self.x_coset = b.scale(b.powers(eta, ext), FR_GENERATOR)
+        shift_pow = pow(FR_GENERATOR, size, R)
+        eta_pow = pow(eta, size, R)
+        van = []
+        acc = shift_pow
+        for _ in range(LDE_FACTOR):
+            van.append((acc - 1) % R)
+            acc = acc * eta_pow % R
+        self.vanishing_inv = b.tile_small([fr_inv(v) for v in van], ext)
+        self.omega = get_domain_omega(size)
+        self.omega_pows = b.powers(self.omega, size)
+
+
+def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
+           public_inputs: List[int], crs: Crs = None, backend=None,
+           ctx: ProverContext2 = None, skip_validation: bool = False,
+           transcript: str = "keccak") -> Proof:
+    if ctx is None:
+        ctx = ProverContext2(setup, crs, backend)
+    b = ctx.backend
+    size = setup.domain_size
+    n = setup.n
+    omega = ctx.omega
+
+    if not skip_validation:
+        validate_witness2(setup, wire_columns, public_inputs)
+
+    transcript = make_transcript(transcript)
+    for x in public_inputs:
+        transcript.update_u256(x)
+
+    # ---- round 1: wire polynomials -------------------------------------
+    wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
+    wires_m = [b.intt(v) for v in wires_v]
+    wire_comms = [ctx.msm_ctx.msm(b.to_ints(m)) for m in wires_m]
+    for p in wire_comms:
+        transcript.update_g1(p)
+    beta = transcript.get_challenge()
+    gamma = transcript.get_challenge()
+
+    # ---- round 2: grand product ----------------------------------------
+    num = None
+    den = None
+    for j in range(STATE_WIDTH):
+        kj_beta = K_COLS[j] * beta % R
+        term_n = b.add_scalar(b.scale_add(ctx.omega_pows, kj_beta, wires_v[j]), gamma)
+        term_d = b.add_scalar(b.scale_add(ctx.sigma_v[j], beta, wires_v[j]), gamma)
+        num = term_n if num is None else b.mul(num, term_n)
+        den = term_d if den is None else b.mul(den, term_d)
+    ratio = b.mul(num, b.batch_inverse(den))
+    z_v = b.grand_product(ratio)
+    z_m = b.intt(z_v)
+    z_comm = ctx.msm_ctx.msm(b.to_ints(z_m))
+    transcript.update_g1(z_comm)
+    alpha = transcript.get_challenge()
+    alpha_pows = [1] * 7
+    for i in range(1, 7):
+        alpha_pows[i] = alpha_pows[i - 1] * alpha % R
+
+    # ---- round 3: quotient ---------------------------------------------
+    wires_l = [b.coset_lde(m, LDE_FACTOR) for m in wires_m]
+    z_l = b.coset_lde(z_m, LDE_FACTOR)
+
+    pi_v = [0] * size
+    for i, x in enumerate(public_inputs):
+        pi_v[i] = x
+    pi_l = b.coset_lde(b.intt(b.from_ints(pi_v)), LDE_FACTOR)
+
+    d_next_l = b.rotate(wires_l[3], LDE_FACTOR)
+    z_next_l = b.rotate(z_l, LDE_FACTOR)
+
+    gate = b.mul(ctx.sel_l[0], wires_l[0])
+    gate = b.add(gate, b.mul(ctx.sel_l[1], wires_l[1]))
+    gate = b.add(gate, b.mul(ctx.sel_l[2], wires_l[2]))
+    gate = b.add(gate, b.mul(ctx.sel_l[3], wires_l[3]))
+    gate = b.add(gate, b.mul(ctx.sel_l[4], b.mul(wires_l[0], wires_l[1])))
+    gate = b.add(gate, ctx.sel_l[5])
+    gate = b.add(gate, b.mul(ctx.sel_l[6], d_next_l))
+    gate = b.add(gate, pi_l)
+    numerator = gate
+
+    # range-gate constraints C1..C4 at alpha^1..alpha^4
+    range_exprs = (
+        b.sub(wires_l[2], b.scale(wires_l[3], 4)),   # c - 4d
+        b.sub(wires_l[1], b.scale(wires_l[2], 4)),   # b - 4c
+        b.sub(wires_l[0], b.scale(wires_l[1], 4)),   # a - 4b
+        b.sub(d_next_l, b.scale(wires_l[0], 4)),     # d' - 4a
+    )
+    range_total = None
+    for k, e in enumerate(range_exprs):
+        t1 = b.sub(b.mul(e, e), b.scale(e, 3))              # e^2 - 3e
+        ck = b.mul(t1, b.add_scalar(t1, 2))                 # * (e^2 - 3e + 2)
+        ck = b.scale(ck, alpha_pows[k + 1])
+        range_total = ck if range_total is None else b.add(range_total, ck)
+    numerator = b.add(numerator, b.mul(ctx.sel_l[Q_RANGE], range_total))
+
+    perm_num = z_l
+    perm_den = z_next_l
+    for j in range(STATE_WIDTH):
+        kj_beta = K_COLS[j] * beta % R
+        perm_num = b.mul(perm_num, b.add_scalar(
+            b.scale_add(ctx.x_coset, kj_beta, wires_l[j]), gamma))
+        perm_den = b.mul(perm_den, b.add_scalar(
+            b.scale_add(ctx.sigma_l[j], beta, wires_l[j]), gamma))
+    numerator = b.add(numerator, b.scale(b.sub(perm_num, perm_den), alpha_pows[5]))
+
+    z_minus_1_l0 = b.mul(b.add_scalar(z_l, R - 1), ctx.l0_l)
+    numerator = b.add(numerator, b.scale(z_minus_1_l0, alpha_pows[6]))
+
+    t_l = b.mul(numerator, ctx.vanishing_inv)
+    t_m = b.coset_intt(t_l)
+    top = b.to_ints(b.slice(t_m, LDE_FACTOR * size - (LDE_FACTOR - 1), LDE_FACTOR * size))
+    if any(top):
+        raise ProverError("quotient degree check failed (unsatisfied witness?)")
+
+    t_chunks = [b.slice(t_m, i * size, (i + 1) * size) for i in range(LDE_FACTOR)]
+    t_comms = [ctx.msm_ctx.msm(b.to_ints(ch)) for ch in t_chunks]
+    for p in t_comms:
+        transcript.update_g1(p)
+    zeta = transcript.get_challenge()
+
+    # ---- round 4: evaluations + linearization --------------------------
+    zeta_omega = zeta * omega % R
+    wire_evals = [b.poly_eval(m, zeta) for m in wires_m]
+    a_z, b_z, c_z, d_z = wire_evals
+    d_zw = b.poly_eval(wires_m[3], zeta_omega)
+    z_zw = b.poly_eval(z_m, zeta_omega)
+    sigma_z = [b.poly_eval(ctx.sigma_m[j], zeta) for j in range(STATE_WIDTH - 1)]
+
+    zeta_n = pow(zeta, size, R)
+    t_z = 0
+    power = 1
+    for ch in t_chunks:
+        t_z = (t_z + power * b.poly_eval(ch, zeta)) % R
+        power = power * zeta_n % R
+
+    vanishing_z = (pow(zeta, size, R) - 1) % R
+    l0_z = vanishing_z * fr_inv((zeta - 1) * size % R) % R
+
+    gp_factor = (a_z + beta * zeta + gamma) % R
+    for j in range(1, STATE_WIDTH):
+        gp_factor = gp_factor * ((wire_evals[j] + K_COLS[j] * beta % R * zeta + gamma) % R) % R
+    z_coeff = (gp_factor * alpha_pows[5] + l0_z * alpha_pows[6]) % R
+
+    sigma_factor = alpha_pows[5] * beta % R * z_zw % R
+    for j in range(STATE_WIDTH - 1):
+        sigma_factor = sigma_factor * ((wire_evals[j] + beta * sigma_z[j] + gamma) % R) % R
+
+    range_at_z = _range_terms_eval(a_z, b_z, c_z, d_z, d_zw, alpha)
+
+    r_m = ctx.sel_m[5]
+    for j in range(STATE_WIDTH):
+        r_m = b.scale_add(ctx.sel_m[j], wire_evals[j], r_m)
+    r_m = b.scale_add(ctx.sel_m[4], a_z * b_z % R, r_m)
+    r_m = b.scale_add(ctx.sel_m[6], d_zw, r_m)
+    r_m = b.scale_add(ctx.sel_m[Q_RANGE], range_at_z, r_m)
+    r_m = b.scale_add(z_m, z_coeff, r_m)
+    r_m = b.sub(r_m, b.scale(ctx.sigma_m[STATE_WIDTH - 1], sigma_factor))
+    r_z = b.poly_eval(r_m, zeta)
+
+    for e in wire_evals:
+        transcript.update_fr(e)
+    transcript.update_fr(d_zw)
+    for e in sigma_z:
+        transcript.update_fr(e)
+    transcript.update_fr(t_z)
+    transcript.update_fr(r_z)
+    transcript.update_fr(z_zw)
+    v = transcript.get_challenge()
+
+    # ---- round 5: opening proofs ---------------------------------------
+    t_agg = t_chunks[0]
+    power = 1
+    for ch in t_chunks[1:]:
+        power = power * zeta_n % R
+        t_agg = b.scale_add(ch, power, t_agg)
+
+    agg = t_agg
+    vpow = v
+    agg = b.scale_add(r_m, vpow, agg)
+    for m in wires_m:
+        vpow = vpow * v % R
+        agg = b.scale_add(m, vpow, agg)
+    for j in range(STATE_WIDTH - 1):
+        vpow = vpow * v % R
+        agg = b.scale_add(ctx.sigma_m[j], vpow, agg)
+    w_z = b.divide_by_linear(agg, zeta)
+    opening_z = ctx.msm_ctx.msm(b.to_ints(w_z))
+
+    v9 = pow(v, 9, R)
+    agg_w = b.scale_add(wires_m[3], v9 * v % R, b.scale(z_m, v9))
+    w_zw = b.divide_by_linear(agg_w, zeta_omega)
+    opening_zw = ctx.msm_ctx.msm(b.to_ints(w_zw))
+
+    return Proof(
+        n=n,
+        num_inputs=setup.num_inputs,
+        input_values=list(public_inputs),
+        wire_commitments=wire_comms,
+        grand_product_commitment=z_comm,
+        quotient_poly_commitments=t_comms,
+        wire_values_at_z=wire_evals,
+        wire_values_at_z_omega=[d_zw],
+        grand_product_at_z_omega=z_zw,
+        quotient_polynomial_at_z=t_z,
+        linearization_polynomial_at_z=r_z,
+        permutation_polynomials_at_z=sigma_z,
+        opening_at_z_proof=opening_z,
+        opening_at_z_omega_proof=opening_zw,
+    )
+
+
+def _derive_challenges2(proof: Proof, transcript: str):
+    t = make_transcript(transcript)
+    for x in proof.input_values:
+        t.update_u256(x)
+    for p in proof.wire_commitments:
+        t.update_g1(p)
+    beta = t.get_challenge()
+    gamma = t.get_challenge()
+    t.update_g1(proof.grand_product_commitment)
+    alpha = t.get_challenge()
+    for p in proof.quotient_poly_commitments:
+        t.update_g1(p)
+    z = t.get_challenge()
+    ev = (list(proof.wire_values_at_z) + list(proof.wire_values_at_z_omega)
+          + list(proof.permutation_polynomials_at_z)
+          + [proof.quotient_polynomial_at_z,
+             proof.linearization_polynomial_at_z,
+             proof.grand_product_at_z_omega])
+    for e in ev:
+        t.update_fr(e)
+    v = t.get_challenge()
+    t.update_g1(proof.opening_at_z_proof)
+    t.update_g1(proof.opening_at_z_omega_proof)
+    u = t.get_challenge()
+    return beta, gamma, alpha, z, v, u
+
+
+def prepare_pairing_pair2(vk: VerificationKey2, proof: Proof,
+                          transcript: str = "keccak"):
+    """Extended-system verifier up to (excluding) the final pairing.
+    Mirrors verifier.prepare_pairing_pair with the shifted alpha powers and
+    the range-selector linearization term."""
+    from ..curve import G1_GEN, g1_add, g1_mul, g1_neg
+    from .verifier import batch_evaluate_lagrange_polys
+    if len(proof.input_values) != vk.num_inputs or vk.num_inputs < 1:
+        return None
+    domain_size = vk.domain_size
+    omega = get_domain_omega(domain_size)
+
+    beta, gamma, alpha, z, v, u = _derive_challenges2(proof, transcript)
+    alpha_pows = [1] * 7
+    for i in range(1, 7):
+        alpha_pows[i] = alpha_pows[i - 1] * alpha % R
+    lagrange_at_z = batch_evaluate_lagrange_polys(
+        list(range(vk.num_inputs)), domain_size, omega, z)
+
+    vanishing_at_z = (pow(z, domain_size, R) - 1) % R
+    if vanishing_at_z == 0:
+        return None
+    lhs = vanishing_at_z * proof.quotient_polynomial_at_z % R
+
+    rhs = proof.linearization_polynomial_at_z
+    for i, x in enumerate(proof.input_values):
+        rhs = (rhs + lagrange_at_z[i] * x) % R
+
+    z_part = proof.grand_product_at_z_omega
+    for i, s in enumerate(proof.permutation_polynomials_at_z):
+        z_part = z_part * ((s * beta + gamma + proof.wire_values_at_z[i]) % R) % R
+    z_part = z_part * ((gamma + proof.wire_values_at_z[STATE_WIDTH - 1]) % R) % R
+    rhs = (rhs - z_part * alpha_pows[5]) % R
+
+    l0_z = vanishing_at_z * fr_inv((z - 1) * domain_size % R) % R
+    rhs = (rhs - l0_z * alpha_pows[6]) % R
+
+    if lhs != rhs:
+        return None
+
+    # ---- reconstruct D ----
+    power_for_z_omega_opening = 1 + 1 + STATE_WIDTH + (STATE_WIDTH - 1)
+    d = vk.selector_commitments[STATE_WIDTH + 1]
+    for i in range(STATE_WIDTH):
+        d = g1_add(d, g1_mul(vk.selector_commitments[i], proof.wire_values_at_z[i]))
+    d = g1_add(d, g1_mul(vk.selector_commitments[STATE_WIDTH],
+                         proof.wire_values_at_z[0] * proof.wire_values_at_z[1] % R))
+    d = g1_add(d, g1_mul(vk.next_step_selector_commitments[0],
+                         proof.wire_values_at_z_omega[0]))
+    range_at_z = _range_terms_eval(
+        proof.wire_values_at_z[0], proof.wire_values_at_z[1],
+        proof.wire_values_at_z[2], proof.wire_values_at_z[3],
+        proof.wire_values_at_z_omega[0], alpha)
+    d = g1_add(d, g1_mul(vk.range_selector_commitments[0], range_at_z))
+
+    gp_part_at_z = (z * beta + proof.wire_values_at_z[0] + gamma) % R
+    for i, k in enumerate(vk.non_residues):
+        gp_part_at_z = gp_part_at_z * ((z * k % R * beta + gamma
+                                        + proof.wire_values_at_z[i + 1]) % R) % R
+    gp_part_at_z = gp_part_at_z * alpha_pows[5] % R
+    gp_part_at_z = (gp_part_at_z + lagrange_at_z[0] * alpha_pows[6]) % R
+
+    gp_part_at_z_omega = pow(v, power_for_z_omega_opening, R) * u % R
+
+    last_perm_part_at_z = 1
+    for i, s in enumerate(proof.permutation_polynomials_at_z):
+        last_perm_part_at_z = last_perm_part_at_z * (
+            (beta * s + gamma + proof.wire_values_at_z[i]) % R) % R
+    last_perm_part_at_z = last_perm_part_at_z * beta % R \
+        * proof.grand_product_at_z_omega % R * alpha_pows[5] % R
+
+    tmp = g1_add(
+        g1_mul(proof.grand_product_commitment, gp_part_at_z),
+        g1_neg(g1_mul(vk.permutation_commitments[STATE_WIDTH - 1], last_perm_part_at_z)))
+    d = g1_add(d, tmp)
+    d = g1_mul(d, v)
+    d = g1_add(d, g1_mul(proof.grand_product_commitment, gp_part_at_z_omega))
+
+    # ---- batched KZG double opening ----
+    z_in_domain_size = pow(z, domain_size, R)
+    commitment_aggregation = proof.quotient_poly_commitments[0]
+    tmp_fr = 1
+    for i in range(1, len(proof.quotient_poly_commitments)):
+        tmp_fr = tmp_fr * z_in_domain_size % R
+        commitment_aggregation = g1_add(
+            commitment_aggregation,
+            g1_mul(proof.quotient_poly_commitments[i], tmp_fr))
+    aggregation_challenge = v
+    commitment_aggregation = g1_add(commitment_aggregation, d)
+    for p in proof.wire_commitments:
+        aggregation_challenge = aggregation_challenge * v % R
+        commitment_aggregation = g1_add(commitment_aggregation,
+                                        g1_mul(p, aggregation_challenge))
+    for i in range(len(vk.permutation_commitments) - 1):
+        aggregation_challenge = aggregation_challenge * v % R
+        commitment_aggregation = g1_add(
+            commitment_aggregation,
+            g1_mul(vk.permutation_commitments[i], aggregation_challenge))
+    aggregation_challenge = aggregation_challenge * v % R
+    aggregation_challenge = aggregation_challenge * v % R
+    commitment_aggregation = g1_add(
+        commitment_aggregation,
+        g1_mul(proof.wire_commitments[STATE_WIDTH - 1], aggregation_challenge * u % R))
+
+    aggregation_challenge = v
+    aggregated_value = proof.quotient_polynomial_at_z
+    aggregated_value = (aggregated_value
+                        + proof.linearization_polynomial_at_z * aggregation_challenge) % R
+    for w in proof.wire_values_at_z:
+        aggregation_challenge = aggregation_challenge * v % R
+        aggregated_value = (aggregated_value + w * aggregation_challenge) % R
+    for s in proof.permutation_polynomials_at_z:
+        aggregation_challenge = aggregation_challenge * v % R
+        aggregated_value = (aggregated_value + s * aggregation_challenge) % R
+    aggregation_challenge = aggregation_challenge * v % R
+    aggregated_value = (aggregated_value
+                        + proof.grand_product_at_z_omega * aggregation_challenge % R * u) % R
+    aggregation_challenge = aggregation_challenge * v % R
+    aggregated_value = (aggregated_value
+                        + proof.wire_values_at_z_omega[0] * aggregation_challenge % R * u) % R
+
+    commitment_aggregation = g1_add(commitment_aggregation,
+                                    g1_neg(g1_mul(G1_GEN, aggregated_value)))
+
+    pair_with_generator = g1_add(commitment_aggregation,
+                                 g1_mul(proof.opening_at_z_proof, z))
+    pair_with_generator = g1_add(
+        pair_with_generator,
+        g1_mul(proof.opening_at_z_omega_proof, z * omega % R * u % R))
+    pair_with_x = g1_add(g1_mul(proof.opening_at_z_omega_proof, u),
+                         proof.opening_at_z_proof)
+    pair_with_x = g1_neg(pair_with_x)
+    return pair_with_generator, pair_with_x
+
+
+def verify2(vk: VerificationKey2, proof: Proof, transcript: str = "keccak") -> bool:
+    from ..curve import G2_GEN
+    from ..pairing import pairing_check
+    pair = prepare_pairing_pair2(vk, proof, transcript)
+    if pair is None:
+        return False
+    g2_base = vk.g2_elements[0] if vk.g2_elements else G2_GEN
+    g2_x = vk.g2_elements[1]
+    return pairing_check([(pair[0], g2_base), (pair[1], g2_x)])
