@@ -174,24 +174,27 @@ class CsBuilder:
     # ---- range chains (the custom gate) ---------------------------------
 
     def enforce_range(self, x: Num, width: int) -> List[Num]:
-        """Constrain 0 <= x < 2^width via a two-bit-decomposition chain
-        (width rounded up to a multiple of 8; 8 bits per row + 1 landing
-        row).  Returns the MSB-first list of 2-bit chunk accumulator wires
-        is NOT returned -- use decompose_chunks when the chunks themselves
-        are needed."""
-        assert width > 0
-        width = (width + 7) & ~7
-        rows = width // 8
+        """Constrain 0 <= x < 2^width EXACTLY (width must be even) via a
+        two-bit-decomposition chain: 8 bits per row + 1 landing row.  When
+        width is not a multiple of 8, the leading accumulators are pinned
+        to the zero variable -- the remaining transitions can only build
+        `width` bits, so no rounding slack leaks into bound tracking."""
+        assert width > 0 and width % 2 == 0
+        full = (width + 7) & ~7
+        rows = full // 8
+        pinned = (full - width) // 2   # leading chunks forced to zero
         v = x.value
         assert v < (1 << width), "range chain witness out of range"
         # accumulators acc_0 = 0 .. acc_{4*rows} = v (MSB-first chunks)
         accs = [self.zero]
         acc = 0
         for i in range(4 * rows):
-            chunk = (v >> (width - 2 * (i + 1))) & 3
+            chunk = (v >> (full - 2 * (i + 1))) & 3 if i >= pinned else 0
             acc = 4 * acc + chunk
             if i == 4 * rows - 1:
                 accs.append(x)      # final accumulator IS the variable
+            elif i < pinned:
+                accs.append(self.zero)
             else:
                 accs.append(self.alloc(acc))
         assert acc == v
