@@ -44,6 +44,15 @@ class HostBackend:
     def to_ints(self, v) -> List[int]:
         return list(v)
 
+    # -- memory placement (no-ops on host) ----------------------------------
+    def offload(self, v):
+        """Move a vector to host memory (device-memory relief)."""
+        return v
+
+    def onload(self, h):
+        """Bring an offloaded vector back for compute."""
+        return h
+
     # -- NTT --------------------------------------------------------------
     def ntt(self, values):
         return poly_host.ntt(list(values))

@@ -137,10 +137,14 @@ class JaxBackend:
         vals = list(values)
         if pad_to is not None and len(vals) < pad_to:
             vals = vals + [0] * (pad_to - len(vals))
-        return FrVec(jnp.asarray(FR.to_mont_np(vals)))
+        # raw limb split on host (cheap bytes-based numpy), Montgomery
+        # conversion on device: avoids 254-bit python modmuls per element
+        raw = jnp.asarray(FR.to_limbs_np(vals))
+        return FrVec(mont.to_mont(FR, raw))
 
     def to_ints(self, v: FrVec) -> List[int]:
-        return FR.from_mont_np(np.asarray(v.data))
+        raw = np.asarray(mont.from_mont(FR, v.data))
+        return FR.from_limbs_np(raw)
 
     # -- NTT ---------------------------------------------------------------
 
@@ -273,6 +277,18 @@ class JaxBackend:
                           interpret=self.interpret)  # z^-(k+1)
         q = pk.mul(FR, s_next, zi_shift, interpret=self.interpret)
         return FrVec(q[:, :n - 1])
+
+    # -- memory placement ----------------------------------------------------
+    # Large provers (the 2^22 aggregation circuit on a 16 GB v5e) keep
+    # monomial-form polynomials host-resident and stream them through HBM.
+
+    def offload(self, v: FrVec) -> np.ndarray:
+        return np.asarray(v.data)
+
+    def onload(self, h) -> FrVec:
+        if isinstance(h, FrVec):
+            return h
+        return FrVec(jnp.asarray(h))
 
     # -- structural --------------------------------------------------------
 

@@ -74,8 +74,17 @@ def cmd_analyse(args):
 
 
 def cmd_setup(args):
-    srs = api.gen_key_monomial_form(args.power)
     _no_clobber(args.srs_monomial_form, args.overwrite, "srs_monomial_form")
+    if args.power > 16 and getattr(args, "backend", "auto") != "host":
+        # device fixed-base path: tau^i * G on the TPU (host loop is too
+        # slow above ~2^16); byte-identical output either way
+        from .tpu.fixed_base import gen_crs_g1_device
+        from .curve import G2_GEN, g2_mul
+        from .serialization import Crs
+        g1 = gen_crs_g1_device(args.power)
+        srs = Crs(g1, [G2_GEN, g2_mul(G2_GEN, api.DEV_TAU)])
+    else:
+        srs = api.gen_key_monomial_form(args.power)
     srs.save(args.srs_monomial_form)
     log.info("srs_monomial_form saved to %s", args.srs_monomial_form)
 
@@ -138,9 +147,93 @@ def cmd_export_verification_key(args):
     log.info("Verification key saved to %s", args.vk)
 
 
-def _recursive_unimplemented(args):
-    sys.exit("recursive aggregation commands land with the recursive stack "
-             "(plonkit_tpu.recursive); not available in this build yet")
+def _load_proof_list(path):
+    from .serialization import Proof
+    proofs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                proofs.append(Proof.load(line))
+    if not proofs:
+        sys.exit(f"no proofs listed in {path}")
+    n_inputs = len(proofs[0].input_values)
+    for p in proofs:
+        if len(p.input_values) != n_inputs:
+            sys.exit("proofs have different num inputs")
+    return proofs
+
+
+def cmd_export_recursive_vk(args):
+    from .recursive.aggregation import make_recursive_vk
+    from .serialization import VerificationKey
+    old_vk = VerificationKey.load(args.old_vk)
+    if args.num_inputs != old_vk.num_inputs:
+        sys.exit(f"--num_inputs {args.num_inputs} != old vk num_inputs {old_vk.num_inputs}")
+    _no_clobber(args.vk, args.overwrite, "recursive vk")
+    rvk = make_recursive_vk(CrsHandle(args.srs_monomial_form), old_vk,
+                            args.num_proofs_to_check, backend=_backend(args))
+    rvk.save(args.vk)
+    log.info("Recursive verification key saved to %s", args.vk)
+
+
+def cmd_recursive_prove(args):
+    from .recursive.aggregation import prove_aggregation
+    from .serialization import VerificationKey
+    old_vk = VerificationKey.load(args.old_vk)
+    proofs = _load_proof_list(args.old_proof_list)
+    _no_clobber(args.new_proof, args.overwrite, "recursive proof")
+    _no_clobber(args.proofjson, args.overwrite, "recursive proof json")
+    agg = prove_aggregation(CrsHandle(args.srs_monomial_form), proofs, old_vk,
+                            backend=_backend(args))
+    agg.save(args.new_proof)
+    log.info("Recursive proof saved to %s", args.new_proof)
+    inputs, serialized = agg.proof.serialize_for_solidity()
+    with open(args.proofjson, "w") as f:
+        json.dump({"proof": [str(w) for w in serialized],
+                   "inputs": [str(x) for x in inputs],
+                   "vk_root": str(agg.vk_root),
+                   "aggr_limbs": [str(v) for v in agg.aggr_limbs],
+                   "individual_inputs": [str(v) for v in agg.individual_inputs]},
+                  f, indent=1)
+    log.info("Recursive proof json saved to %s", args.proofjson)
+
+
+def cmd_recursive_verify(args):
+    from .recursive.aggregation import AggregatedProof, verify_aggregation
+    from .plonk.extended import VerificationKey2
+    rvk = VerificationKey2.load(args.vk)
+    agg = AggregatedProof.load(args.proof)
+    if verify_aggregation(rvk, agg):
+        log.info("Proof is valid.")
+    else:
+        log.info("Proof is invalid!")
+        sys.exit(400)
+
+
+def cmd_check_aggregation(args):
+    from .recursive.aggregation import AggregatedProof, check_aggregation
+    from .serialization import VerificationKey
+    old_vk = VerificationKey.load(args.old_vk)
+    proofs = _load_proof_list(args.old_proof_list)
+    agg = AggregatedProof.load(args.new_proof)
+    if check_aggregation(old_vk, proofs, agg):
+        log.info("Aggregation is corresponding to the original proofs.")
+    else:
+        log.info("Aggregation does NOT correspond to the original proofs!")
+        sys.exit(400)
+
+
+def cmd_generate_recursive_verifier(args):
+    from .solidity import render_recursive_verification_key_to_file
+    from .plonk.extended import VerificationKey2
+    from .serialization import VerificationKey
+    old_vk = VerificationKey.load(args.old_vk)
+    new_vk = VerificationKey2.load(args.new_vk)
+    _no_clobber(args.sol, args.overwrite, "solidity")
+    render_recursive_verification_key_to_file(old_vk, new_vk, args.num_inputs,
+                                              args.sol, args.tpl)
+    log.info("Contract saved to %s", args.sol)
 
 
 def build_parser():
@@ -200,17 +293,49 @@ def build_parser():
     sp.add_argument("--overwrite", action="store_true")
     sp.set_defaults(func=cmd_export_verification_key)
 
-    # recursive aggregation suite (placeholders until the recursive stack lands)
-    for name, help_text in [
-        ("generate-recursive-verifier", "Generate recursive verifier smart contract"),
-        ("export-recursive-verification-key", "Export Recursive verifying key"),
-        ("recursive-prove", "Aggregate multiple proofs"),
-        ("recursive-verify", "Verify recursive proof"),
-        ("check-aggregation", "Check proofs aggregation"),
-    ]:
-        sp = sub.add_parser(name, help=help_text)
-        sp.set_defaults(func=_recursive_unimplemented)
-        sp.add_argument("args", nargs="*")
+    # recursive aggregation suite (flags mirror src/bin/main.rs:154-256)
+    sp = sub.add_parser("generate-recursive-verifier",
+                        help="Generate recursive verifier smart contract")
+    sp.add_argument("-o", "--old_vk", default="vk.bin")
+    sp.add_argument("-n", "--new_vk", default="recursive_vk.bin")
+    sp.add_argument("-i", "--num_inputs", type=int, required=True)
+    sp.add_argument("-s", "--sol", default="verifier.sol")
+    sp.add_argument("-t", "--template", dest="tpl")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.set_defaults(func=cmd_generate_recursive_verifier)
+
+    sp = sub.add_parser("export-recursive-verification-key",
+                        help="Export Recursive verifying key")
+    sp.add_argument("-c", "--num_proofs_to_check", type=int, required=True)
+    sp.add_argument("-i", "--num_inputs", type=int, required=True)
+    sp.add_argument("-m", "--srs_monomial_form", required=True)
+    sp.add_argument("-o", "--old_vk", default="vk.bin",
+                    help="inner verification key (this framework bakes the "
+                         "inner domain/selectors into the circuit structure)")
+    sp.add_argument("-v", "--vk", default="recursive_vk.bin")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.set_defaults(func=cmd_export_recursive_vk)
+
+    sp = sub.add_parser("recursive-prove", help="Aggregate multiple proofs")
+    sp.add_argument("-m", "--srs_monomial_form", required=True)
+    sp.add_argument("-f", "--old_proof_list", required=True)
+    sp.add_argument("-v", "--old_vk", default="vk.bin")
+    sp.add_argument("-n", "--new_proof", default="recursive_proof.bin")
+    sp.add_argument("-j", "--proofjson", default="recursive_proof.json")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.set_defaults(func=cmd_recursive_prove)
+
+    sp = sub.add_parser("recursive-verify", help="Verify recursive proof")
+    sp.add_argument("-p", "--proof", default="recursive_proof.bin")
+    sp.add_argument("-v", "--verification_key", dest="vk",
+                    default="recursive_vk.bin")
+    sp.set_defaults(func=cmd_recursive_verify)
+
+    sp = sub.add_parser("check-aggregation", help="Check proofs aggregation")
+    sp.add_argument("-o", "--old_proof_list", required=True)
+    sp.add_argument("-v", "--old_vk", default="vk.bin")
+    sp.add_argument("-n", "--new_proof", default="recursive_proof.bin")
+    sp.set_defaults(func=cmd_check_aggregation)
 
     return p
 

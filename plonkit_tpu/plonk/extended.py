@@ -235,8 +235,11 @@ def validate_witness2(setup: SetupPolynomials2, wire_columns: List[List[int]],
 
 
 class ProverContext2:
-    """Device-resident reusable prover state (mirrors prover.ProverContext,
-    extended with the range selector)."""
+    """Reusable prover state for the extended system.  Unlike the base
+    ProverContext, monomial forms are kept HOST-resident (backend.offload)
+    and LDEs are streamed one at a time: the target workload is the 2^22
+    aggregation circuit, whose 16M-element LDE arrays are ~1 GiB each --
+    precomputing all 12 would blow a 16 GiB v5e HBM."""
 
     def __init__(self, setup: SetupPolynomials2, crs: Crs, backend=None):
         if backend is None:
@@ -249,27 +252,13 @@ class ProverContext2:
         assert num_g1 >= size, "SRS too small for circuit"
         self.msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
         b = backend
-        self.sel_m = [b.intt(b.from_ints(s)) for s in setup.selectors]
-        self.sigma_m = [b.intt(b.from_ints(s)) for s in setup.permutations]
-        self.sel_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sel_m]
-        self.sigma_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sigma_m]
-        self.sigma_v = [b.from_ints(s) for s in setup.permutations]
-        l0 = [0] * size
-        l0[0] = 1
-        self.l0_l = b.coset_lde(b.intt(b.from_ints(l0)), LDE_FACTOR)
-        ext = LDE_FACTOR * size
-        eta = get_domain_omega(ext)
-        self.x_coset = b.scale(b.powers(eta, ext), FR_GENERATOR)
-        shift_pow = pow(FR_GENERATOR, size, R)
-        eta_pow = pow(eta, size, R)
-        van = []
-        acc = shift_pow
-        for _ in range(LDE_FACTOR):
-            van.append((acc - 1) % R)
-            acc = acc * eta_pow % R
-        self.vanishing_inv = b.tile_small([fr_inv(v) for v in van], ext)
+        self.sel_m = [b.offload(b.intt(b.from_ints(s))) for s in setup.selectors]
+        self.sigma_m = [b.offload(b.intt(b.from_ints(s))) for s in setup.permutations]
+        self.sigma_v = [b.offload(b.from_ints(s)) for s in setup.permutations]
         self.omega = get_domain_omega(size)
-        self.omega_pows = b.powers(self.omega, size)
+
+    def lde(self, hosted):
+        return self.backend.coset_lde(self.backend.onload(hosted), LDE_FACTOR)
 
 
 def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
@@ -300,17 +289,23 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     gamma = transcript.get_challenge()
 
     # ---- round 2: grand product ----------------------------------------
+    omega_pows = b.powers(ctx.omega, size)
     num = None
     den = None
     for j in range(STATE_WIDTH):
         kj_beta = K_COLS[j] * beta % R
-        term_n = b.add_scalar(b.scale_add(ctx.omega_pows, kj_beta, wires_v[j]), gamma)
-        term_d = b.add_scalar(b.scale_add(ctx.sigma_v[j], beta, wires_v[j]), gamma)
+        term_n = b.add_scalar(b.scale_add(omega_pows, kj_beta, wires_v[j]), gamma)
+        term_d = b.add_scalar(b.scale_add(b.onload(ctx.sigma_v[j]), beta, wires_v[j]),
+                              gamma)
         num = term_n if num is None else b.mul(num, term_n)
         den = term_d if den is None else b.mul(den, term_d)
+    del omega_pows
     ratio = b.mul(num, b.batch_inverse(den))
+    del num, den
     z_v = b.grand_product(ratio)
+    del ratio
     z_m = b.intt(z_v)
+    del z_v
     z_comm = ctx.msm_ctx.msm(b.to_ints(z_m))
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
@@ -318,58 +313,94 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     for i in range(1, 7):
         alpha_pows[i] = alpha_pows[i - 1] * alpha % R
 
-    # ---- round 3: quotient ---------------------------------------------
-    wires_l = [b.coset_lde(m, LDE_FACTOR) for m in wires_m]
-    z_l = b.coset_lde(z_m, LDE_FACTOR)
+    # ---- round 3: quotient (streamed: one LDE array live at a time) -----
+    del wires_v
+    wires_m_host = [b.offload(m) for m in wires_m]
+    del wires_m
+    wires_l = [ctx.lde(m) for m in wires_m_host]
+    d_next_l = b.rotate(wires_l[3], LDE_FACTOR)
+
+    numerator = None
+
+    def acc(term):
+        nonlocal numerator
+        numerator = term if numerator is None else b.add(numerator, term)
+
+    for i in range(STATE_WIDTH):
+        acc(b.mul(ctx.lde(ctx.sel_m[i]), wires_l[i]))
+    acc(b.mul(ctx.lde(ctx.sel_m[4]), b.mul(wires_l[0], wires_l[1])))
+    acc(ctx.lde(ctx.sel_m[5]))
+    acc(b.mul(ctx.lde(ctx.sel_m[6]), d_next_l))
 
     pi_v = [0] * size
     for i, x in enumerate(public_inputs):
         pi_v[i] = x
-    pi_l = b.coset_lde(b.intt(b.from_ints(pi_v)), LDE_FACTOR)
-
-    d_next_l = b.rotate(wires_l[3], LDE_FACTOR)
-    z_next_l = b.rotate(z_l, LDE_FACTOR)
-
-    gate = b.mul(ctx.sel_l[0], wires_l[0])
-    gate = b.add(gate, b.mul(ctx.sel_l[1], wires_l[1]))
-    gate = b.add(gate, b.mul(ctx.sel_l[2], wires_l[2]))
-    gate = b.add(gate, b.mul(ctx.sel_l[3], wires_l[3]))
-    gate = b.add(gate, b.mul(ctx.sel_l[4], b.mul(wires_l[0], wires_l[1])))
-    gate = b.add(gate, ctx.sel_l[5])
-    gate = b.add(gate, b.mul(ctx.sel_l[6], d_next_l))
-    gate = b.add(gate, pi_l)
-    numerator = gate
+    acc(b.coset_lde(b.intt(b.from_ints(pi_v)), LDE_FACTOR))
 
     # range-gate constraints C1..C4 at alpha^1..alpha^4
     range_exprs = (
-        b.sub(wires_l[2], b.scale(wires_l[3], 4)),   # c - 4d
-        b.sub(wires_l[1], b.scale(wires_l[2], 4)),   # b - 4c
-        b.sub(wires_l[0], b.scale(wires_l[1], 4)),   # a - 4b
-        b.sub(d_next_l, b.scale(wires_l[0], 4)),     # d' - 4a
+        lambda: b.sub(wires_l[2], b.scale(wires_l[3], 4)),   # c - 4d
+        lambda: b.sub(wires_l[1], b.scale(wires_l[2], 4)),   # b - 4c
+        lambda: b.sub(wires_l[0], b.scale(wires_l[1], 4)),   # a - 4b
+        lambda: b.sub(d_next_l, b.scale(wires_l[0], 4)),     # d' - 4a
     )
     range_total = None
-    for k, e in enumerate(range_exprs):
+    for k, mk in enumerate(range_exprs):
+        e = mk()
         t1 = b.sub(b.mul(e, e), b.scale(e, 3))              # e^2 - 3e
         ck = b.mul(t1, b.add_scalar(t1, 2))                 # * (e^2 - 3e + 2)
+        del e, t1
         ck = b.scale(ck, alpha_pows[k + 1])
         range_total = ck if range_total is None else b.add(range_total, ck)
-    numerator = b.add(numerator, b.mul(ctx.sel_l[Q_RANGE], range_total))
+    acc(b.mul(ctx.lde(ctx.sel_m[Q_RANGE]), range_total))
+    del range_total, d_next_l
 
+    z_m_host = b.offload(z_m)
+    del z_m
+    z_l = ctx.lde(z_m_host)
+
+    # permutation argument at alpha^5
+    ext = LDE_FACTOR * size
+    eta = get_domain_omega(ext)
+    x_coset = b.scale(b.powers(eta, ext), FR_GENERATOR)
     perm_num = z_l
-    perm_den = z_next_l
     for j in range(STATE_WIDTH):
         kj_beta = K_COLS[j] * beta % R
         perm_num = b.mul(perm_num, b.add_scalar(
-            b.scale_add(ctx.x_coset, kj_beta, wires_l[j]), gamma))
+            b.scale_add(x_coset, kj_beta, wires_l[j]), gamma))
+    del x_coset
+    acc(b.scale(perm_num, alpha_pows[5]))
+    del perm_num
+    perm_den = b.rotate(z_l, LDE_FACTOR)
+    for j in range(STATE_WIDTH):
         perm_den = b.mul(perm_den, b.add_scalar(
-            b.scale_add(ctx.sigma_l[j], beta, wires_l[j]), gamma))
-    numerator = b.add(numerator, b.scale(b.sub(perm_num, perm_den), alpha_pows[5]))
+            b.scale_add(ctx.lde(ctx.sigma_m[j]), beta, wires_l[j]), gamma))
+    acc(b.scale(perm_den, (R - alpha_pows[5]) % R))
+    del perm_den
 
-    z_minus_1_l0 = b.mul(b.add_scalar(z_l, R - 1), ctx.l0_l)
-    numerator = b.add(numerator, b.scale(z_minus_1_l0, alpha_pows[6]))
+    l0 = [0] * size
+    l0[0] = 1
+    l0_l = b.coset_lde(b.intt(b.from_ints(l0)), LDE_FACTOR)
+    z_minus_1_l0 = b.mul(b.add_scalar(z_l, R - 1), l0_l)
+    del l0_l, z_l
+    acc(b.scale(z_minus_1_l0, alpha_pows[6]))
+    del z_minus_1_l0
+    del wires_l
 
-    t_l = b.mul(numerator, ctx.vanishing_inv)
+    # Z_H^-1 on the coset (period-LDE_FACTOR values)
+    shift_pow = pow(FR_GENERATOR, size, R)
+    eta_pow = pow(eta, size, R)
+    van = []
+    vacc = shift_pow
+    for _ in range(LDE_FACTOR):
+        van.append((vacc - 1) % R)
+        vacc = vacc * eta_pow % R
+    vanishing_inv = b.tile_small([fr_inv(v) for v in van], ext)
+
+    t_l = b.mul(numerator, vanishing_inv)
+    del numerator, vanishing_inv
     t_m = b.coset_intt(t_l)
+    del t_l
     top = b.to_ints(b.slice(t_m, LDE_FACTOR * size - (LDE_FACTOR - 1), LDE_FACTOR * size))
     if any(top):
         raise ProverError("quotient degree check failed (unsatisfied witness?)")
@@ -382,11 +413,12 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
 
     # ---- round 4: evaluations + linearization --------------------------
     zeta_omega = zeta * omega % R
-    wire_evals = [b.poly_eval(m, zeta) for m in wires_m]
+    wire_evals = [b.poly_eval(b.onload(m), zeta) for m in wires_m_host]
     a_z, b_z, c_z, d_z = wire_evals
-    d_zw = b.poly_eval(wires_m[3], zeta_omega)
-    z_zw = b.poly_eval(z_m, zeta_omega)
-    sigma_z = [b.poly_eval(ctx.sigma_m[j], zeta) for j in range(STATE_WIDTH - 1)]
+    d_zw = b.poly_eval(b.onload(wires_m_host[3]), zeta_omega)
+    z_zw = b.poly_eval(b.onload(z_m_host), zeta_omega)
+    sigma_z = [b.poly_eval(b.onload(ctx.sigma_m[j]), zeta)
+               for j in range(STATE_WIDTH - 1)]
 
     zeta_n = pow(zeta, size, R)
     t_z = 0
@@ -409,14 +441,14 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
 
     range_at_z = _range_terms_eval(a_z, b_z, c_z, d_z, d_zw, alpha)
 
-    r_m = ctx.sel_m[5]
+    r_m = b.onload(ctx.sel_m[5])
     for j in range(STATE_WIDTH):
-        r_m = b.scale_add(ctx.sel_m[j], wire_evals[j], r_m)
-    r_m = b.scale_add(ctx.sel_m[4], a_z * b_z % R, r_m)
-    r_m = b.scale_add(ctx.sel_m[6], d_zw, r_m)
-    r_m = b.scale_add(ctx.sel_m[Q_RANGE], range_at_z, r_m)
-    r_m = b.scale_add(z_m, z_coeff, r_m)
-    r_m = b.sub(r_m, b.scale(ctx.sigma_m[STATE_WIDTH - 1], sigma_factor))
+        r_m = b.scale_add(b.onload(ctx.sel_m[j]), wire_evals[j], r_m)
+    r_m = b.scale_add(b.onload(ctx.sel_m[4]), a_z * b_z % R, r_m)
+    r_m = b.scale_add(b.onload(ctx.sel_m[6]), d_zw, r_m)
+    r_m = b.scale_add(b.onload(ctx.sel_m[Q_RANGE]), range_at_z, r_m)
+    r_m = b.scale_add(b.onload(z_m_host), z_coeff, r_m)
+    r_m = b.sub(r_m, b.scale(b.onload(ctx.sigma_m[STATE_WIDTH - 1]), sigma_factor))
     r_z = b.poly_eval(r_m, zeta)
 
     for e in wire_evals:
@@ -439,17 +471,21 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     agg = t_agg
     vpow = v
     agg = b.scale_add(r_m, vpow, agg)
-    for m in wires_m:
+    del r_m
+    for m in wires_m_host:
         vpow = vpow * v % R
-        agg = b.scale_add(m, vpow, agg)
+        agg = b.scale_add(b.onload(m), vpow, agg)
     for j in range(STATE_WIDTH - 1):
         vpow = vpow * v % R
-        agg = b.scale_add(ctx.sigma_m[j], vpow, agg)
+        agg = b.scale_add(b.onload(ctx.sigma_m[j]), vpow, agg)
     w_z = b.divide_by_linear(agg, zeta)
+    del agg
     opening_z = ctx.msm_ctx.msm(b.to_ints(w_z))
+    del w_z
 
     v9 = pow(v, 9, R)
-    agg_w = b.scale_add(wires_m[3], v9 * v % R, b.scale(z_m, v9))
+    agg_w = b.scale_add(b.onload(wires_m_host[3]), v9 * v % R,
+                        b.scale(b.onload(z_m_host), v9))
     w_zw = b.divide_by_linear(agg_w, zeta_omega)
     opening_zw = ctx.msm_ctx.msm(b.to_ints(w_zw))
 

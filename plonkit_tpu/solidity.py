@@ -68,3 +68,16 @@ def render_verification_key_to_file(vk: VerificationKey, out_path: str,
                                     template_path: str = None) -> None:
     with open(out_path, "w") as f:
         f.write(render_verification_key(vk, template_path))
+
+
+def render_recursive_verification_key_to_file(old_vk, new_vk, num_inputs: int,
+                                              out_path: str,
+                                              template_path: str = None):
+    """Recursive (aggregated) verifier contract codegen -- the analogue of
+    the reference's solidity_recursive_plonk_verifier crate
+    (src/bin/main.rs:459-481, SURVEY D5).  The on-chain verifier for the
+    extended gate system is scheduled work; the native pipeline
+    (recursive-prove / recursive-verify / check-aggregation) is complete."""
+    raise NotImplementedError(
+        "recursive verifier contract generation is not implemented yet; "
+        "use `recursive-verify` for native verification")
