@@ -31,9 +31,8 @@ from typing import List, Optional, Tuple
 
 from ..curve import g1_add, g1_is_on_curve, g1_mul
 from ..fields import FR_MODULUS as R
-from ..plonk.extended import (ProverContext2, VerificationKey2,
-                              make_verification_key2, prove2,
-                              validate_witness2, verify2)
+from ..plonk.extended import (VerificationKey2, make_verification_key2,
+                              prove2, validate_witness2_fast, verify2)
 from ..plonk.verifier import prepare_pairing_pair
 from ..serialization import (Crs, Proof, VerificationKey, read_fr, read_u64,
                              write_fr, write_u64)
@@ -269,7 +268,8 @@ def prove_aggregation(big_crs: Crs, proofs: List[Proof], vk: VerificationKey,
     cols = cs.wire_columns()
     pub = cs.public_inputs()
     if validate:
-        validate_witness2(setup, cols, pub)
+        log.info("validating witness (vectorized satisfiability check)...")
+        validate_witness2_fast(setup, cols, pub, backend=backend)
     proof = prove2(setup, cols, pub, crs=big_crs, backend=backend,
                    skip_validation=True)
     root = build_vk_tree([vk])[-1][0]

@@ -125,13 +125,23 @@ def affine_batch_to_host(aff):
     return [None if i else (px, py) for px, py, i in zip(xs, ys, infs)]
 
 
+CRS_CHUNK_LOG2 = 19   # 512k scalars/chunk: ~3.4 GiB of ladder temps on HBM
+
+
 def gen_crs_g1_device(power: int, tau: int = 42):
     """Device-side crs_42: tau^i * G1 for i < 2^power, returned as host
-    affine points (byte-identical to the reference's dev SRS)."""
+    affine points (byte-identical to the reference's dev SRS).  Processed
+    in fixed-size chunks: the 32-window ladder holds ~13 live [16, N]
+    u32 temps, which at 2^22 in one shot exceeds a v5e's 16 GiB HBM."""
     n = 1 << power
+    chunk = min(n, 1 << CRS_CHUNK_LOG2)
     # tau powers on host via square-mult chain (cheap python: n multiplications)
     pows = [1] * n
     for i in range(1, n):
         pows[i] = pows[i - 1] * tau % FR_MODULUS
-    jac = batch_scalar_mul_base(pows)
-    return affine_batch_to_host(to_affine_batch(jac))
+    out = []
+    for start in range(0, n, chunk):
+        jac = batch_scalar_mul_base(pows[start:start + chunk])
+        out.extend(affine_batch_to_host(to_affine_batch(jac)))
+        del jac
+    return out

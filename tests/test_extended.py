@@ -140,3 +140,17 @@ def test_range_chain_soundness_bits(srs):
                 col[i] = big
     with pytest.raises(ProverError):
         validate_witness2(setup, cols, cs.public_inputs())
+
+
+def test_fast_validator_matches_row_validator(srs):
+    from plonkit_tpu.plonk.extended import validate_witness2_fast
+    cs = build_demo_circuit()
+    setup = cs.setup()
+    cols = cs.wire_columns()
+    pub = cs.public_inputs()
+    validate_witness2(setup, cols, pub)
+    validate_witness2_fast(setup, cols, pub, backend=_backend())
+    row = next(i for i, s in enumerate(setup.selectors[7]) if s)
+    cols[2][row] = (cols[2][row] + 7) % R
+    with pytest.raises(ProverError):
+        validate_witness2_fast(setup, cols, pub, backend=_backend())
