@@ -167,6 +167,64 @@ class _MuxTable:
         return PointG(x, y, pt)
 
 
+class _MuxTable4:
+    """4-bit window table [P..15P] muxed through the multilinear (Moebius)
+    expansion m(b) = sum_S c_S prod_{i in S} b_i: the 16 coefficient limbs
+    c_S are linear combinations of the entry limbs, precomputed ONCE per
+    point (15 lc gates/limb); each window then costs one 16-term lc per
+    limb plus the 11 shared bit-products.  Entry 0 aliases P (chunk-0 adds
+    are discarded by the select)."""
+
+    def __init__(self, cs: CsBuilder, p: PointG):
+        self.cs = cs
+        entries = [p, ec_double(cs, p)]       # 2P via doubling (P+P is
+        for _ in range(13):                   # degenerate for affine add)
+            entries.append(ec_add(cs, entries[-1], p))
+        self.entries = [p] + entries          # index by chunk, E0 = E1 = P
+        e_limbs = [e.x.limbs + e.y.limbs for e in self.entries]
+        e_bounds = [e.x.bounds + e.y.bounds for e in self.entries]
+        # Moebius transform over the 4-cube, per limb
+        self.coeffs = []                      # [16][2*NLIMBS] of (Num|const0)
+        for s in range(16):
+            if s == 0:
+                self.coeffs.append(list(e_limbs[0]))
+                continue
+            row = []
+            for i in range(2 * NLIMBS):
+                terms = []
+                for t in range(16):
+                    if t & s == t:            # t subset of s
+                        sign = 1 if (bin(s ^ t).count("1")) % 2 == 0 else R - 1
+                        terms.append((e_limbs[t][i], sign))
+                row.append(cs.lc(terms))
+            self.coeffs.append(row)
+        self.mux_bounds = [max(b[i] for b in e_bounds) for i in range(2 * NLIMBS)]
+
+    def mux(self, bits, prods) -> PointG:
+        """bits = [b0..b3] (LSB first); prods = {bitmask >= 3 with >=2 bits
+        set -> Num product of those bits}, computed once per (point,
+        window) by the caller.  m = c_0 + sum_{s>=1} sel_s * c_s: both
+        factors are wires, so one mul_add per (limb, s)."""
+        cs = self.cs
+        sel = [None] * 16
+        for s in range(1, 16):
+            idx = [i for i in range(4) if s >> i & 1]
+            sel[s] = bits[idx[0]] if len(idx) == 1 else prods[s]
+        limbs = []
+        for i in range(2 * NLIMBS):
+            acc = self.coeffs[0][i]
+            for s in range(1, 16):
+                acc = cs.mul_add(sel[s], self.coeffs[s][i], acc)
+            limbs.append(acc)
+        chunk = sum(b.value << i for i, b in enumerate(bits))
+        pt = self.entries[max(chunk, 1)].point
+        x = FqNum(limbs[:NLIMBS], self.mux_bounds[:NLIMBS],
+                  sum(n.value << (68 * i) for i, n in enumerate(limbs[:NLIMBS])))
+        y = FqNum(limbs[NLIMBS:], self.mux_bounds[NLIMBS:],
+                  sum(n.value << (68 * i) for i, n in enumerate(limbs[NLIMBS:])))
+        return PointG(x, y, pt)
+
+
 def _select_point(cs: CsBuilder, flag: Num, p: PointG, q: PointG) -> PointG:
     """flag ? p : q, limb-wise."""
     limbs = []
@@ -183,16 +241,17 @@ def _select_point(cs: CsBuilder, flag: Num, p: PointG, q: PointG) -> PointG:
 
 
 def ec_multi_msm(cs: CsBuilder, groups: Sequence[Sequence[Tuple[PointG, Num]]],
-                 width: int = 256) -> List[PointG]:
+                 width: int = 256, window_bits: int = 4) -> List[PointG]:
     """Straus multi-MSM with shared window schedule: groups[k] is a list of
     (point, scalar) pairs; returns [sum_i s_i * P_i for each group].
     All scalars share one doubling ladder per group accumulator.  width is
     the scalar bit width (256 covers canonical Fr; the +r decomposition
-    freedom is harmless since r*P = O)."""
+    freedom is harmless since r*P = O).  window_bits: 4 (default, [P..15P]
+    multilinear mux) or 2 ([P,2P,3P] delta mux) -- 4 is ~30% fewer rows."""
     assert width % 8 == 0
-    windows = width // 2
+    assert window_bits in (2, 4)
 
-    # scalar chunk decomposition (MSB-first 2-bit chunks)
+    # scalar chunk decomposition (MSB-first 2-bit chunks from range chains)
     all_chunks = []
     for group in groups:
         gch = []
@@ -201,23 +260,58 @@ def ec_multi_msm(cs: CsBuilder, groups: Sequence[Sequence[Tuple[PointG, Num]]],
             gch.append(cs.decompose_chunks(sc, width))
         all_chunks.append(gch)
 
-    tables = [[_MuxTable(cs, pt) for pt, _ in group] for group in groups]
+    if window_bits == 2:
+        tables = [[_MuxTable(cs, pt) for pt, _ in group] for group in groups]
+    else:
+        tables = [[_MuxTable4(cs, pt) for pt, _ in group] for group in groups]
+    windows = width // window_bits
 
     accs = [point_constant(cs, OFFSET_POINT) for _ in groups]
     for w in range(windows):
         for k, group in enumerate(groups):
-            accs[k] = ec_double(cs, ec_double(cs, accs[k]))
+            acc = accs[k]
+            for _ in range(window_bits // 2):
+                acc = ec_double(cs, ec_double(cs, acc))
             for j, (pt, sc) in enumerate(group):
-                ch = all_chunks[k][j][w]
-                b0 = cs.boolean(ch.value & 1)
-                b1 = cs.boolean((ch.value >> 1) & 1)
-                cs.enforce_lc([(ch, 1), (b0, R - 1), (b1, R - 2)])
-                bb = cs.mul(b0, b1)
-                entry = tables[k][j].mux(b0, b1, bb)
-                added = ec_add(cs, accs[k], entry)
-                # nz = b0 + b1 - bb  (1 iff chunk != 0)
-                nz = cs.lc([(b0, 1), (b1, 1), (bb, R - 1)])
-                accs[k] = _select_point(cs, nz, added, accs[k])
+                if window_bits == 2:
+                    ch = all_chunks[k][j][w]
+                    b0 = cs.boolean(ch.value & 1)
+                    b1 = cs.boolean((ch.value >> 1) & 1)
+                    cs.enforce_lc([(ch, 1), (b0, R - 1), (b1, R - 2)])
+                    bb = cs.mul(b0, b1)
+                    entry = tables[k][j].mux(b0, b1, bb)
+                    nz = cs.lc([(b0, 1), (b1, 1), (bb, R - 1)])
+                else:
+                    # window value = 4*chunk_{2w} + chunk_{2w+1} (MSB-first)
+                    hi = all_chunks[k][j][2 * w]
+                    lo = all_chunks[k][j][2 * w + 1]
+                    val = 4 * hi.value + lo.value
+                    bits = [cs.boolean((val >> i) & 1) for i in range(4)]
+                    # bind bits to the two range-chain chunks
+                    cs.enforce_lc([(hi, 4), (lo, 1), (bits[0], R - 1),
+                                   (bits[1], R - 2), (bits[2], R - 4),
+                                   (bits[3], R - 8)])
+                    prods = {}
+                    for s in range(3, 16):
+                        if s & (s - 1) == 0:
+                            continue
+                        low = s & -s
+                        rest = s ^ low
+                        left = bits[low.bit_length() - 1]
+                        right = bits[rest.bit_length() - 1] if rest & (rest - 1) == 0 \
+                            else prods[rest]
+                        prods[s] = cs.mul(left, right)
+                    entry = tables[k][j].mux(bits, prods)
+                    # nz = 1 - prod(1 - b_i): zero iff all bits zero
+                    q01 = cs.mul(cs.lc([(bits[0], R - 1)], constant=1),
+                                 cs.lc([(bits[1], R - 1)], constant=1))
+                    q23 = cs.mul(cs.lc([(bits[2], R - 1)], constant=1),
+                                 cs.lc([(bits[3], R - 1)], constant=1))
+                    q = cs.mul(q01, q23)
+                    nz = cs.lc([(q, R - 1)], constant=1)
+                added = ec_add(cs, acc, entry)
+                acc = _select_point(cs, nz, added, acc)
+            accs[k] = acc
 
     # subtract 2^width * O from each accumulator
     correction = g1_neg(g1_mul(OFFSET_POINT, pow(2, width, R)))
@@ -229,5 +323,5 @@ def ec_multi_msm(cs: CsBuilder, groups: Sequence[Sequence[Tuple[PointG, Num]]],
 
 
 def ec_msm(cs: CsBuilder, pairs: Sequence[Tuple[PointG, Num]],
-           width: int = 256) -> PointG:
-    return ec_multi_msm(cs, [pairs], width=width)[0]
+           width: int = 256, window_bits: int = 4) -> PointG:
+    return ec_multi_msm(cs, [pairs], width=width, window_bits=window_bits)[0]
