@@ -148,7 +148,9 @@ class SetupForProver:
     def prove(self, circuit: CircomCircuit, transcript: str = "keccak") -> Proof:
         _, cols, pub = synthesize_witness(circuit)
         if self._prover_ctx is None:
-            self._prover_ctx = ProverContext(self.setup_polynomials, self.crs, self.backend)
+            self._prover_ctx = ProverContext(self.setup_polynomials, self.crs,
+                                             self.backend,
+                                             crs_lagrange=self.key_lagrange_form)
         return _prove(self.setup_polynomials, cols, pub, ctx=self._prover_ctx,
                       transcript=transcript)
 

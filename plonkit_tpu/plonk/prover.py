@@ -53,7 +53,8 @@ class ProverContext:
     """Device-resident prover state reusable across proofs for one circuit:
     setup polynomials (value + monomial + LDE forms) and the SRS MSM tables."""
 
-    def __init__(self, setup: SetupPolynomials, crs: Crs, backend=None):
+    def __init__(self, setup: SetupPolynomials, crs: Crs, backend=None,
+                 crs_lagrange: Crs = None):
         if backend is None:
             from ..backend import default_backend
             backend = default_backend()
@@ -63,6 +64,15 @@ class ProverContext:
         num_g1 = getattr(crs, "num_g1", None) or len(crs.g1_bases)
         assert num_g1 >= size, "SRS too small for circuit"
         self.msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
+        # lagrange-form fast path (reference: `prove` vs `prove_by_steps`,
+        # src/plonk.rs:140-170): value-form polynomials commit directly over
+        # L_i(tau)*G bases, skipping their iNTT->monomial hop for the MSM
+        self.lagrange_msm_ctx = None
+        if crs_lagrange is not None:
+            num_l = getattr(crs_lagrange, "num_g1", None) or len(crs_lagrange.g1_bases)
+            assert num_l >= size, "lagrange SRS too small for circuit"
+            self.lagrange_msm_ctx = backend.msm_context_from_crs(
+                crs_lagrange, size, key=("srs-l", id(crs_lagrange), size))
         b = backend
         self.sel_m = [b.intt(b.from_ints(s)) for s in setup.selectors]
         self.sigma_m = [b.intt(b.from_ints(s)) for s in setup.permutations]
@@ -112,7 +122,10 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     # ---- round 1: wire polynomials -------------------------------------
     wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
     wires_m = [b.intt(v) for v in wires_v]
-    wire_comms = [ctx.msm_ctx.msm(b.to_ints(m)) for m in wires_m]
+    if ctx.lagrange_msm_ctx is not None:
+        wire_comms = [ctx.lagrange_msm_ctx.msm(b.to_ints(v)) for v in wires_v]
+    else:
+        wire_comms = [ctx.msm_ctx.msm(b.to_ints(m)) for m in wires_m]
     for p in wire_comms:
         transcript.update_g1(p)
     beta = transcript.get_challenge()
@@ -130,7 +143,10 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     ratio = b.mul(num, b.batch_inverse(den))
     z_v = b.grand_product(ratio)
     z_m = b.intt(z_v)
-    z_comm = ctx.msm_ctx.msm(b.to_ints(z_m))
+    if ctx.lagrange_msm_ctx is not None:
+        z_comm = ctx.lagrange_msm_ctx.msm(b.to_ints(z_v))
+    else:
+        z_comm = ctx.msm_ctx.msm(b.to_ints(z_m))
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
 

@@ -81,3 +81,19 @@ def test_cli_setup_and_lagrange(tmp_path):
     assert r.returncode == 0, r.stderr
     assert open(os.path.join(d, "setup.key"), "rb").read() == open(SRS, "rb").read(), \
         "dev SRS must be byte-identical to the reference crs_42"
+
+
+def test_cli_lagrange_fast_path_byte_identical(tmp_path):
+    """dump-lagrange + prove -l must produce the same bytes as the monomial
+    path and the reference golden proof (mirrors the reference CI's
+    monomial + lagrange prove steps in integration-test.yml)."""
+    d = tmp_path
+    r = run_cli(["dump-lagrange", "-m", SRS, "-l", "lagrange.key",
+                 "-c", f"{SIMPLE}/circuit.r1cs.json"], d)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["prove", "-m", SRS, "-l", "lagrange.key",
+                 "-c", f"{SIMPLE}/circuit.r1cs.json",
+                 "-w", f"{SIMPLE}/witness.json", "-p", "proof.bin"], d)
+    assert r.returncode == 0, r.stderr
+    golden = open(f"{SIMPLE}/proof.bin", "rb").read()
+    assert (d / "proof.bin").read_bytes() == golden
