@@ -122,14 +122,19 @@ def domain_size_for_gates(total_gates: int) -> int:
 
 
 def make_setup_polynomials2(num_inputs: int, input_vars: List[int],
-                            wires, selectors_rows) -> SetupPolynomials2:
+                            wires, selectors_rows, backend=None) -> SetupPolynomials2:
     """Build setup polynomials from raw synthesized arrays.
 
     wires: list of rows, each a 4-tuple of variable indices (0 = dummy,
     excluded from copy constraints).  selectors_rows: list of 8-tuples.
     Input gates (one per public input, q_a=-1, wire in column a) are
     generated here and PREPENDED, matching the base system's convention so
-    PI(X) = sum_i x_i L_i(X)."""
+    PI(X) = sum_i x_i L_i(X).
+
+    With a backend, the omega-power / coset-label tables are computed on
+    device (the 254-bit python modmuls dominate wall time at the
+    aggregation circuit's 2^21+ rows); the cycle rotation itself is pure
+    index shuffling."""
     total = num_inputs + len(wires)
     size = domain_size_for_gates(total)
     n = size - 1
@@ -155,16 +160,23 @@ def make_setup_polynomials2(num_inputs: int, input_vars: List[int],
                 continue
             positions.setdefault(var, []).append((base, col))
 
-    omega_pows = [1] * size
-    for i in range(1, size):
-        omega_pows[i] = omega_pows[i - 1] * omega % R
+    if backend is not None and size >= (1 << 16):
+        pw = backend.powers(omega, size)
+        bases = [backend.to_ints(backend.scale(pw, K_COLS[c]))
+                 for c in range(STATE_WIDTH)]
+        del pw
+    else:
+        omega_pows = [1] * size
+        for i in range(1, size):
+            omega_pows[i] = omega_pows[i - 1] * omega % R
+        bases = [[K_COLS[c] * w % R for w in omega_pows]
+                 for c in range(STATE_WIDTH)]
 
-    sigma = [[K_COLS[c] * omega_pows[r] % R for r in range(size)]
-             for c in range(STATE_WIDTH)]
+    sigma = [list(bases[c]) for c in range(STATE_WIDTH)]
     for plist in positions.values():
         if len(plist) < 2:
             continue
-        labels = [K_COLS[c] * omega_pows[r] % R for (r, c) in plist]
+        labels = [bases[c][r] for (r, c) in plist]
         rotated = labels[1:] + labels[:1]
         for (r, c), lab in zip(plist, rotated):
             sigma[c][r] = lab

@@ -264,7 +264,7 @@ def prove_aggregation(big_crs: Crs, proofs: List[Proof], vk: VerificationKey,
     cs, limbs = build_aggregation_circuit(vk, proofs)
     log.info("aggregation circuit: %d gates, %d variables",
              cs.num_gates, len(cs.values))
-    setup = cs.setup()
+    setup = cs.setup(backend=backend)
     cols = cs.wire_columns()
     pub = cs.public_inputs()
     if validate:
@@ -317,7 +317,8 @@ def make_recursive_vk(big_crs: Crs, vk: VerificationKey, num_proofs: int,
     only the gate structure matters for the setup polynomials."""
     proofs = [dummy_proof(vk, seed=i + 1) for i in range(num_proofs)]
     cs, _ = build_aggregation_circuit(vk, proofs)
-    return make_verification_key2(cs.setup(), big_crs, backend=backend)
+    return make_verification_key2(cs.setup(backend=backend), big_crs,
+                                  backend=backend)
 
 
 def verify_aggregation(rec_vk: VerificationKey2, agg: AggregatedProof,

@@ -219,10 +219,11 @@ class CsBuilder:
 
     # ---- finalize --------------------------------------------------------
 
-    def setup(self):
+    def setup(self, backend=None):
         from ..plonk.extended import make_setup_polynomials2
         return make_setup_polynomials2(
-            len(self.input_vars), list(self.input_vars), self.wires, self.sels)
+            len(self.input_vars), list(self.input_vars), self.wires, self.sels,
+            backend=backend)
 
     def wire_columns(self) -> List[List[int]]:
         vals = self.values

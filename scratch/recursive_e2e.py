@@ -1,6 +1,7 @@
 """Full recursive aggregation e2e on the real TPU: dev SRS 2^22 ->
 inner rescue proofs -> aggregation circuit prove2 -> verify/check."""
-import os, sys, time
+import logging, os, sys, time
+logging.basicConfig(level="INFO", format="[%(asctime)s] %(message)s")
 sys.path.insert(0, "/root/repo")
 # no JAX_PLATFORMS override: run on the axon TPU
 
