@@ -12,9 +12,9 @@ from typing import List, Optional
 from .curve import G1_GEN, G2_GEN, g1_mul, g2_mul
 from .fields import FR_MODULUS
 from .frontend.circuit import CircomCircuit
-from .frontend.transpiler import TranspiledCircuit, synthesize_witness, transpile
+from .frontend.transpiler import synthesize_witness, transpile
 from .plonk.prover import ProverContext, prove as _prove
-from .plonk.setup import (SETUP_MAX_POW2, SETUP_MIN_POW2, SetupPolynomials,
+from .plonk.setup import (SETUP_MAX_POW2, SETUP_MIN_POW2,
                           make_setup_polynomials, make_verification_key)
 from .plonk.verifier import verify as _verify
 from .serialization import Crs, Proof, VerificationKey

@@ -34,7 +34,7 @@ The per-constraint hint/stat bookkeeping mirrors plonkit's TranspilerWrapper
 (src/tests.rs:14).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from ..fields import FR_MODULUS as R

@@ -33,9 +33,8 @@ all four C_k are evaluable from the proof's wire evaluations at zeta and
 zeta*omega.
 """
 
-import struct
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from ..fields import FR_MODULUS as R, FR_GENERATOR, NON_RESIDUES, fr_inv, get_domain_omega
 from ..serialization import (Crs, Proof, read_fr, read_g1, read_u64, write_fr,

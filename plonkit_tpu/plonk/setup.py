@@ -6,12 +6,11 @@ Behavioral parity: bellman_ce better_cs setup/make_verification_key
 test/circuits/simple/vk.bin (see frontend/transpiler.py docstring)."""
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 from ..fields import FR_MODULUS as R, NON_RESIDUES, get_domain_omega
 from ..frontend.transpiler import DUMMY, STATE_WIDTH, TranspiledCircuit
 from ..serialization import Crs, VerificationKey
-from .poly_host import intt
 
 SETUP_MIN_POW2 = 10
 SETUP_MAX_POW2 = 26

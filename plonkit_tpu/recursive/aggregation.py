@@ -26,7 +26,7 @@ The final check e(PG, G2) * e(PX, [x]_2) == 1 runs NATIVELY in
 verify_aggregation -- exactly the reference's deferred-pairing design."""
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 from ..curve import g1_add, g1_is_on_curve, g1_mul
@@ -40,7 +40,7 @@ from ..transcript import make_transcript
 from .cs import CsBuilder
 from .ec_gadget import ec_multi_msm, ec_neg, point_constant
 from .nonnative import fq_enforce_equal, fq_from_limbs
-from .rescue import RescueTranscript, rescue_hash
+from .rescue import rescue_hash
 from .rescue_gadget import merkle_verify_gadget, rescue_hash_gadget
 from .rns import fq_to_limbs, limbs_to_fq
 from .vk_tree import VK_TREE_DEPTH, build_vk_tree, vk_leaf_hash

@@ -15,10 +15,9 @@ The in-circuit re-verification (the SNARK of these checks) is the round-2
 milestone.
 """
 
-from typing import List, Optional, Tuple
+from typing import List
 
-from ..curve import G1_GEN, G2_GEN, g1_add, g1_mul
-from ..fields import FR_MODULUS as R
+from ..curve import G2_GEN, g1_add, g1_mul
 from ..pairing import pairing_check
 from ..plonk.verifier import prepare_pairing_pair
 from ..serialization import Proof, VerificationKey

@@ -18,7 +18,7 @@ Conventions:
     accumulator is pinned by the C4 transition into the landing row.
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from ..fields import FR_MODULUS as R
 

@@ -22,14 +22,14 @@ Soundness notes:
     standard completeness fix.
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from ..curve import G1_GEN, g1_mul, g1_neg
 from ..fields import FQ_MODULUS as P, FR_MODULUS as R
 from ..keccak import keccak256
 from .cs import CsBuilder, Num
 from .nonnative import (FqNum, NLIMBS, fq_add, fq_alloc, fq_constant,
-                        fq_enforce_zero, fq_mul, fq_neg, fq_scale, fq_sub)
+                        fq_mul, fq_neg, fq_scale, fq_sub)
 
 
 class PointG:

@@ -5,7 +5,6 @@ queries :72-84)."""
 
 from typing import List, Tuple
 
-from ..fields import FR_MODULUS as R
 from ..serialization import VerificationKey
 from .rescue import rescue_hash
 from .rns import fq_to_double_limbs
