@@ -36,6 +36,7 @@ from ..plonk.extended import (VerificationKey2, make_verification_key2,
 from ..plonk.verifier import prepare_pairing_pair
 from ..serialization import (Crs, Proof, VerificationKey, read_fr, read_u64,
                              write_fr, write_u64)
+from ..profiling import stage
 from ..transcript import make_transcript
 from .cs import CsBuilder
 from .ec_gadget import ec_multi_msm, ec_neg, point_constant
@@ -260,18 +261,20 @@ def prove_aggregation(big_crs: Crs, proofs: List[Proof], vk: VerificationKey,
     num_inputs = len(proofs[0].input_values)
     assert all(len(p.input_values) == num_inputs for p in proofs), \
         "proofs must have equal input counts"
-    log.info("synthesizing aggregation circuit for %d proofs...", len(proofs))
-    cs, limbs = build_aggregation_circuit(vk, proofs)
+    with stage("aggregation: synthesis"):
+        cs, limbs = build_aggregation_circuit(vk, proofs)
     log.info("aggregation circuit: %d gates, %d variables",
              cs.num_gates, len(cs.values))
-    setup = cs.setup(backend=backend)
-    cols = cs.wire_columns()
-    pub = cs.public_inputs()
+    with stage("aggregation: setup polys"):
+        setup = cs.setup(backend=backend)
+        cols = cs.wire_columns()
+        pub = cs.public_inputs()
     if validate:
-        log.info("validating witness (vectorized satisfiability check)...")
-        validate_witness2_fast(setup, cols, pub, backend=backend)
-    proof = prove2(setup, cols, pub, crs=big_crs, backend=backend,
-                   skip_validation=True)
+        with stage("aggregation: validate"):
+            validate_witness2_fast(setup, cols, pub, backend=backend)
+    with stage("aggregation: prove2"):
+        proof = prove2(setup, cols, pub, crs=big_crs, backend=backend,
+                       skip_validation=True)
     root = build_vk_tree([vk])[-1][0]
     individual = [x for p in proofs for x in p.input_values]
     return AggregatedProof(proof, root, limbs, num_inputs, individual)
@@ -316,9 +319,12 @@ def make_recursive_vk(big_crs: Crs, vk: VerificationKey, num_proofs: int,
     mod.rs:196-204).  Synthesizes the circuit with dummy witnesses --
     only the gate structure matters for the setup polynomials."""
     proofs = [dummy_proof(vk, seed=i + 1) for i in range(num_proofs)]
-    cs, _ = build_aggregation_circuit(vk, proofs)
-    return make_verification_key2(cs.setup(backend=backend), big_crs,
-                                  backend=backend)
+    with stage("rvk: synthesis"):
+        cs, _ = build_aggregation_circuit(vk, proofs)
+    with stage("rvk: setup polys"):
+        setup = cs.setup(backend=backend)
+    with stage("rvk: commitments"):
+        return make_verification_key2(setup, big_crs, backend=backend)
 
 
 def verify_aggregation(rec_vk: VerificationKey2, agg: AggregatedProof,
