@@ -44,6 +44,10 @@ class HostBackend:
     def to_ints(self, v) -> List[int]:
         return list(v)
 
+    def commit(self, msm_ctx, v):
+        """KZG-commit a backend vector over a prepared MSM context."""
+        return msm_ctx.msm(self.to_ints(v))
+
     # -- memory placement (no-ops on host) ----------------------------------
     def offload(self, v):
         """Move a vector to host memory (device-memory relief)."""

@@ -278,6 +278,13 @@ class JaxBackend:
         q = pk.mul(FR, s_next, zi_shift, interpret=self.interpret)
         return FrVec(q[:, :n - 1])
 
+    def commit(self, msm_ctx, v: FrVec):
+        """KZG-commit without leaving the device: MSM digit decomposition
+        runs on device when the context supports it."""
+        if hasattr(msm_ctx, "msm_vec"):
+            return msm_ctx.msm_vec(v.data)
+        return msm_ctx.msm(self.to_ints(v))
+
     # -- memory placement ----------------------------------------------------
     # Large provers (the 2^22 aggregation circuit on a 16 GB v5e) keep
     # monomial-form polynomials host-resident and stream them through HBM.

@@ -195,7 +195,7 @@ def make_verification_key2(setup: SetupPolynomials2, crs: Crs, backend=None) -> 
 
     def commit(values):
         coeffs = backend.intt(backend.from_ints(values))
-        return msm_ctx.msm(backend.to_ints(coeffs))
+        return backend.commit(msm_ctx, coeffs)
 
     sel = [commit(setup.selectors[i]) for i in range(6)]
     nxt = [commit(setup.selectors[6])]
@@ -325,7 +325,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     # ---- round 1: wire polynomials -------------------------------------
     wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
     wires_m = [b.intt(v) for v in wires_v]
-    wire_comms = [ctx.msm_ctx.msm(b.to_ints(m)) for m in wires_m]
+    wire_comms = [b.commit(ctx.msm_ctx, m) for m in wires_m]
     for p in wire_comms:
         transcript.update_g1(p)
     beta = transcript.get_challenge()
@@ -349,7 +349,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     del ratio
     z_m = b.intt(z_v)
     del z_v
-    z_comm = ctx.msm_ctx.msm(b.to_ints(z_m))
+    z_comm = b.commit(ctx.msm_ctx, z_m)
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
     alpha_pows = [1] * 7
@@ -449,7 +449,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
         raise ProverError("quotient degree check failed (unsatisfied witness?)")
 
     t_chunks = [b.slice(t_m, i * size, (i + 1) * size) for i in range(LDE_FACTOR)]
-    t_comms = [ctx.msm_ctx.msm(b.to_ints(ch)) for ch in t_chunks]
+    t_comms = [b.commit(ctx.msm_ctx, ch) for ch in t_chunks]
     for p in t_comms:
         transcript.update_g1(p)
     zeta = transcript.get_challenge()
@@ -523,14 +523,14 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
         agg = b.scale_add(b.onload(ctx.sigma_m[j]), vpow, agg)
     w_z = b.divide_by_linear(agg, zeta)
     del agg
-    opening_z = ctx.msm_ctx.msm(b.to_ints(w_z))
+    opening_z = b.commit(ctx.msm_ctx, w_z)
     del w_z
 
     v9 = pow(v, 9, R)
     agg_w = b.scale_add(b.onload(wires_m_host[3]), v9 * v % R,
                         b.scale(b.onload(z_m_host), v9))
     w_zw = b.divide_by_linear(agg_w, zeta_omega)
-    opening_zw = ctx.msm_ctx.msm(b.to_ints(w_zw))
+    opening_zw = b.commit(ctx.msm_ctx, w_zw)
 
     return Proof(
         n=n,

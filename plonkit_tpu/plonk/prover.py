@@ -123,9 +123,9 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
     wires_m = [b.intt(v) for v in wires_v]
     if ctx.lagrange_msm_ctx is not None:
-        wire_comms = [ctx.lagrange_msm_ctx.msm(b.to_ints(v)) for v in wires_v]
+        wire_comms = [b.commit(ctx.lagrange_msm_ctx, v) for v in wires_v]
     else:
-        wire_comms = [ctx.msm_ctx.msm(b.to_ints(m)) for m in wires_m]
+        wire_comms = [b.commit(ctx.msm_ctx, m) for m in wires_m]
     for p in wire_comms:
         transcript.update_g1(p)
     beta = transcript.get_challenge()
@@ -144,9 +144,9 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     z_v = b.grand_product(ratio)
     z_m = b.intt(z_v)
     if ctx.lagrange_msm_ctx is not None:
-        z_comm = ctx.lagrange_msm_ctx.msm(b.to_ints(z_v))
+        z_comm = b.commit(ctx.lagrange_msm_ctx, z_v)
     else:
-        z_comm = ctx.msm_ctx.msm(b.to_ints(z_m))
+        z_comm = b.commit(ctx.msm_ctx, z_m)
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
 
@@ -194,7 +194,7 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
         raise ProvingError("quotient degree check failed (unsatisfied witness?)")
 
     t_chunks = [b.slice(t_m, i * size, (i + 1) * size) for i in range(LDE_FACTOR)]
-    t_comms = [ctx.msm_ctx.msm(b.to_ints(ch)) for ch in t_chunks]
+    t_comms = [b.commit(ctx.msm_ctx, ch) for ch in t_chunks]
     for p in t_comms:
         transcript.update_g1(p)
     zeta = transcript.get_challenge()
@@ -262,12 +262,12 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
         vpow = vpow * v % R
         agg = b.scale_add(ctx.sigma_m[j], vpow, agg)
     w_z = b.divide_by_linear(agg, zeta)
-    opening_z = ctx.msm_ctx.msm(b.to_ints(w_z))
+    opening_z = b.commit(ctx.msm_ctx, w_z)
 
     v9 = pow(v, 9, R)
     agg_w = b.scale_add(wires_m[3], v9 * v % R, b.scale(z_m, v9))
     w_zw = b.divide_by_linear(agg_w, zeta_omega)
-    opening_zw = ctx.msm_ctx.msm(b.to_ints(w_zw))
+    opening_zw = b.commit(ctx.msm_ctx, w_zw)
 
     return Proof(
         n=n,

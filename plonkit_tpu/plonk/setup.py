@@ -91,7 +91,7 @@ def make_verification_key(setup: SetupPolynomials, crs: Crs, backend=None) -> Ve
 
     def commit(values):
         coeffs = backend.intt(backend.from_ints(values))
-        return msm_ctx.msm(backend.to_ints(coeffs))
+        return backend.commit(msm_ctx, coeffs)
 
     sel_comms = [commit(setup.selectors[i]) for i in range(6)]
     next_comms = [commit(setup.selectors[6])]

@@ -156,6 +156,43 @@ def _window_kernel(x, y, inf, digits, *, n_pad, c, lanes, r_max, bpl):
 
 
 @lru_cache(maxsize=None)
+def _digits_jit(c: int, num_windows: int):
+    """Device-side signed digit decomposition from [16, N] canonical 16-bit
+    limbs (mirror of signed_digits_np): keeps MSM inputs on device so
+    repeated commitments never round-trip through python ints."""
+    half = 1 << (c - 1)
+
+    def f(raw):
+        digs = []
+        for w in range(num_windows):
+            bit0 = w * c
+            limb0 = bit0 // 16
+            off = bit0 % 16
+            val = raw[limb0] >> off
+            have = 16 - off
+            lidx = limb0 + 1
+            while have < c and lidx < NLIMBS:
+                val = val | (raw[lidx] << have)
+                have += 16
+                lidx += 1
+            digs.append((val & ((1 << c) - 1)).astype(jnp.int32))
+        digits = jnp.stack(digs)
+
+        def body(w, st):
+            carry, out = st
+            d = digits[w] + carry
+            new_carry = (d > half).astype(jnp.int32)
+            d = d - (new_carry << c)
+            return new_carry, out.at[w].set(d)
+
+        carry = jnp.zeros((digits.shape[1],), jnp.int32)
+        out = jnp.zeros_like(digits)
+        _, out = jax.lax.fori_loop(0, num_windows, body, (carry, out))
+        return out
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
 def _window_jit(n_pad, c, lanes, r_max, bpl):
     return jax.jit(partial(_window_kernel, n_pad=n_pad, c=c, lanes=lanes,
                            r_max=r_max, bpl=bpl))
@@ -209,22 +246,41 @@ class MSMContext:
 
     def msm(self, scalars) -> "host affine point":
         """scalars: list of python ints (len <= n). Returns host affine point."""
-        from ..curve import g1_add, g1_mul, g1_msm_host
         scalars = [s % FR_MODULUS for s in scalars]
         if len(scalars) < self.n:
             scalars = scalars + [0] * (self.n - len(scalars))
         digits = signed_digits_np(scalars, self.c, self.num_windows)
+        rows = [jnp.asarray(digits[w]) for w in range(self.num_windows)]
+        return self._run_windows(rows, lambda: scalars)
+
+    def msm_vec(self, v_mont) -> "host affine point":
+        """v_mont: [16, N] device Montgomery Fr limbs (N <= n).  Digits are
+        extracted on device -- no python-int round trip."""
+        raw = mont.from_mont(mont.FR, v_mont)
+        if raw.shape[1] < self.n:
+            raw = jnp.pad(raw, ((0, 0), (0, self.n - raw.shape[1])))
+        digits = _digits_jit(self.c, self.num_windows)(raw)
+        raw_host = None
+
+        def fallback_scalars():
+            return mont.FR.from_limbs_np(np.asarray(raw))
+
+        return self._run_windows([digits[w] for w in range(self.num_windows)],
+                                 fallback_scalars)
+
+    def _run_windows(self, digit_rows, fallback_scalars):
+        from ..curve import g1_add, g1_mul, g1_msm_host
         window_points = []
         for w in range(self.num_windows):
             bpl, r_max = self.window_params[w]
             fn = _window_jit(self.n, self.c, self.lanes, r_max, bpl)
-            dw = jnp.asarray(digits[w])
-            tx, ty, tz, overflow = fn(self.x, self.y, self.inf, dw)
+            tx, ty, tz, overflow = fn(self.x, self.y, self.inf, digit_rows[w])
             if bool(overflow):
                 # adversarial bucket skew -- fall back to host (correctness first)
                 if self.host_points is None:
                     raise RuntimeError(
                         "MSM lane overflow and no host fallback points available")
+                scalars = fallback_scalars()
                 from ..native import msm_native
                 res = msm_native(self.host_points, scalars)
                 if res is not False:
