@@ -38,6 +38,30 @@ def _as_dev(v) -> jnp.ndarray:
     return v.data if isinstance(v, FrVec) else v
 
 
+PULL_CHUNK_COLS = 1 << 19   # 32 MiB per device->host pull: larger single
+#                             transfers intermittently wedge the axon tunnel
+
+
+def pull_np(arr) -> np.ndarray:
+    """Chunked device->host transfer for [16, N] limb arrays."""
+    n = arr.shape[1]
+    if n <= PULL_CHUNK_COLS:
+        return np.asarray(arr)
+    parts = [np.asarray(arr[:, i:i + PULL_CHUNK_COLS])
+             for i in range(0, n, PULL_CHUNK_COLS)]
+    return np.concatenate(parts, axis=1)
+
+
+def push_dev(arr) -> jnp.ndarray:
+    """Chunked host->device transfer for [16, N] limb arrays."""
+    n = arr.shape[1]
+    if n <= PULL_CHUNK_COLS:
+        return jnp.asarray(arr)
+    parts = [jnp.asarray(np.ascontiguousarray(arr[:, i:i + PULL_CHUNK_COLS]))
+             for i in range(0, n, PULL_CHUNK_COLS)]
+    return jnp.concatenate(parts, axis=1)
+
+
 @lru_cache(maxsize=None)
 def _const_mont(value: int):
     # host np array (NOT jnp): a cached jnp array created inside a trace
@@ -139,11 +163,11 @@ class JaxBackend:
             vals = vals + [0] * (pad_to - len(vals))
         # raw limb split on host (cheap bytes-based numpy), Montgomery
         # conversion on device: avoids 254-bit python modmuls per element
-        raw = jnp.asarray(FR.to_limbs_np(vals))
+        raw = push_dev(FR.to_limbs_np(vals))
         return FrVec(mont.to_mont(FR, raw))
 
     def to_ints(self, v: FrVec) -> List[int]:
-        raw = np.asarray(mont.from_mont(FR, v.data))
+        raw = pull_np(mont.from_mont(FR, v.data))
         return FR.from_limbs_np(raw)
 
     # -- NTT ---------------------------------------------------------------
@@ -206,8 +230,8 @@ class JaxBackend:
                     self._msm_cache[key] = ctx
                 return ctx
             to_mont = jax.jit(lambda r: mont.to_mont(mont.FQ, r))
-            x_mont = to_mont(jnp.asarray(x_raw))
-            y_mont = to_mont(jnp.asarray(y_raw))
+            x_mont = to_mont(push_dev(x_raw))
+            y_mont = to_mont(push_dev(y_raw))
             ctx = tpu_msm.MSMContext.from_device_affine(x_mont, y_mont, jnp.asarray(inf), c=13)
         if key is not None:
             self._msm_cache[key] = ctx
@@ -290,12 +314,12 @@ class JaxBackend:
     # monomial-form polynomials host-resident and stream them through HBM.
 
     def offload(self, v: FrVec) -> np.ndarray:
-        return np.asarray(v.data)
+        return pull_np(v.data)
 
     def onload(self, h) -> FrVec:
         if isinstance(h, FrVec):
             return h
-        return FrVec(jnp.asarray(h))
+        return FrVec(push_dev(h))
 
     # -- structural --------------------------------------------------------
 
