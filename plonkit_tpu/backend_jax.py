@@ -232,7 +232,9 @@ class JaxBackend:
             to_mont = jax.jit(lambda r: mont.to_mont(mont.FQ, r))
             x_mont = to_mont(push_dev(x_raw))
             y_mont = to_mont(push_dev(y_raw))
-            ctx = tpu_msm.MSMContext.from_device_affine(x_mont, y_mont, jnp.asarray(inf), c=13)
+            ctx = tpu_msm.MSMContext.from_device_affine(
+                x_mont, y_mont, jnp.asarray(inf), c=13,
+                host_points_loader=lambda h=crs: h.g1_bases)
         if key is not None:
             self._msm_cache[key] = ctx
         return ctx

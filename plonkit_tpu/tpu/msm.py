@@ -87,6 +87,11 @@ def _window_kernel(x, y, inf, digits, *, n_pad, c, lanes, r_max, bpl):
     # lane-partitioned layout: lane l owns buckets [l*bpl, (l+1)*bpl)
     lane_start_keys = jnp.arange(lanes, dtype=jnp.int32) * bpl
     starts = jnp.searchsorted(keys_sorted, lane_start_keys, side="left").astype(jnp.int32)
+    # key-0 points (zero digits / infinity) contribute nothing: skip them in
+    # lane 0 so sparse scalar vectors (structured selector polynomials!)
+    # neither overflow the lane nor waste accumulation rows
+    zero_end = jnp.searchsorted(keys_sorted, 1, side="left").astype(jnp.int32)
+    starts = jnp.maximum(starts, zero_end)
     ends = jnp.concatenate([starts[1:], jnp.asarray([n_pad], dtype=jnp.int32)])
     counts = ends - starts
     overflow = jnp.max(counts) > r_max
@@ -203,14 +208,17 @@ class MSMContext:
 
     def __init__(self, points, c: int = 13, lanes: int = None):
         self.host_points = list(points)
+        self.host_points_loader = None
         self.n = len(points)
         x, y, inf = ec.affine_from_host(points)
         self._init_params(x, y, inf, c, lanes)
 
     @classmethod
-    def from_device_affine(cls, x, y, inf, c: int = 13, lanes: int = None):
+    def from_device_affine(cls, x, y, inf, c: int = 13, lanes: int = None,
+                           host_points_loader=None):
         ctx = cls.__new__(cls)
         ctx.host_points = None
+        ctx.host_points_loader = host_points_loader
         ctx.n = x.shape[1]
         ctx._init_params(x, y, inf, c, lanes)
         return ctx
@@ -277,6 +285,8 @@ class MSMContext:
             tx, ty, tz, overflow = fn(self.x, self.y, self.inf, digit_rows[w])
             if bool(overflow):
                 # adversarial bucket skew -- fall back to host (correctness first)
+                if self.host_points is None and self.host_points_loader is not None:
+                    self.host_points = list(self.host_points_loader())[:self.n]
                 if self.host_points is None:
                     raise RuntimeError(
                         "MSM lane overflow and no host fallback points available")
