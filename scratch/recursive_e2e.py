@@ -6,6 +6,11 @@ sys.path.insert(0, "/root/repo")
 # no JAX_PLATFORMS override: run on the axon TPU
 
 import jax
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 print("device:", jax.devices()[0])
 
 from plonkit_tpu.api import SetupForProver, verify
