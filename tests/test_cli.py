@@ -97,3 +97,21 @@ def test_cli_lagrange_fast_path_byte_identical(tmp_path):
     assert r.returncode == 0, r.stderr
     golden = open(f"{SIMPLE}/proof.bin", "rb").read()
     assert (d / "proof.bin").read_bytes() == golden
+
+
+def test_cli_prove_from_binary_wtns(tmp_path):
+    """.wtns binary witness ingestion (reference reader.rs:124-175) feeding
+    the same byte-identical proof as the JSON witness."""
+    import json
+    from plonkit_tpu.frontend.witness import (load_witness_from_bin,
+                                              write_witness_bin)
+    with open(f"{SIMPLE}/witness.json") as f:
+        values = [int(x) for x in json.load(f)]
+    w = tmp_path / "witness.wtns"
+    write_witness_bin(values, str(w))
+    assert load_witness_from_bin(str(w)) == values
+    r = run_cli(["prove", "-m", SRS, "-c", f"{SIMPLE}/circuit.r1cs.json",
+                 "-w", str(w), "-p", "proof.bin"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    golden = open(f"{SIMPLE}/proof.bin", "rb").read()
+    assert (tmp_path / "proof.bin").read_bytes() == golden
