@@ -1,27 +1,37 @@
 """Pippenger multi-scalar multiplication on TPU (SURVEY §7 step 3, hot
-kernel #1).
+kernel #1; reference behavior: bellman_ce multiexp, SURVEY D1c).
 
-TPU has no efficient random-access scatter, so the classic per-bucket
-accumulation is reformulated as:
+TPU has no efficient random-access scatter, so classic per-bucket
+accumulation is reformulated so that **no scatter ever happens**:
 
-  1. signed c-bit digit decomposition (host numpy, vectorized);
-  2. per window: sort point indices by |digit| (XLA sort), gather points;
-  3. **lane-partitioned serial accumulation**: bucket space is split into
-     contiguous ranges, one per vector lane, so no bucket's points ever
-     span two lanes.  A fori_loop walks R_max rows of the [R_max, C]
-     lane-padded matrix doing one batched mixed-add per row; when a lane's
-     digit changes the finished bucket sum is scatter-SET (conflict-free by
-     construction) into the bucket table;
-  4. weighted bucket reduction sum(b * S_b) via two Hillis-Steele passes
-     (suffix scan + prefix reduction) of batched Jacobian adds;
-  5. window results are combined on host (16 points, exact).
+  1. signed c-bit digit decomposition (host numpy or on-device);
+  2. per window: sort point indices by |digit| (XLA sort) — equal digits
+     become contiguous runs;
+  3. **one bucket per vector lane**: lane b owns exactly bucket b, so the
+     run for bucket b is gathered into column b of a [r_max, lanes] padded
+     matrix and a fori_loop of batched *unchecked* mixed-adds (11 field
+     muls, no doubling fallback — impossible for distinct SRS bases,
+     flagged on device regardless) accumulates it.  The loop-carried
+     accumulator IS the bucket table: no flush, no scatter.
+  4. the top window's digits span only 2^(255 mod c) values, so its
+     buckets are *replicated* over `repl` sub-lanes (points of one bucket
+     are split round-robin across sub-lanes by within-run rank) and the
+     sub-lanes are tree-folded afterwards — this keeps the sequential
+     depth r_max uniform across windows;
+  5. weighted bucket reduction sum(b * S_b) via two Hillis-Steele passes
+     (suffix scan + prefix reduction) of batched unchecked Jacobian adds;
+  6. window results are combined on host (≤20 points, exact).
 
-Lane padding R_max is 4x the mean load; for uniformly-distributed scalars
-(the PLONK prover's polynomials are effectively uniform) overflow
-probability is cryptographically negligible, but it is *checked* on device
-and reported, and the caller falls back to the host MSM on overflow.
+Lane padding r_max is mean + 8*sqrt(mean) + 64: for uniformly-distributed
+scalars (the PLONK prover's witness polynomials are effectively uniform)
+the binomial per-bucket count exceeds that with probability < 2^-40.
+Structured scalar vectors (e.g. 0/1 selector polynomials) can overflow a
+lane or trip the doubling flag; both are *checked on device* and the
+caller falls back to the native C++ / host MSM (correctness first —
+those commitments happen once per setup, not per proof).
 """
 
+import math
 from functools import lru_cache, partial
 
 import jax
@@ -32,7 +42,6 @@ from ..fields import FR_MODULUS
 from . import ec, mont
 from .mont import FQ, NLIMBS
 
-DUMP = -1  # placeholder
 
 
 def signed_digits_np(scalars, c: int, num_windows: int) -> np.ndarray:
@@ -62,102 +71,101 @@ def signed_digits_np(scalars, c: int, num_windows: int) -> np.ndarray:
     return digits.astype(np.int32)
 
 
-def _window_kernel(x, y, inf, digits, *, n_pad, c, lanes, r_max, bpl):
-    """One Pippenger window entirely on device.
+def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets):
+    """One Pippenger window entirely on device, scatter-free.
 
-    x, y: [16, n_pad] affine Montgomery coords; inf: [n_pad] bool;
-    digits: [n_pad] int32 signed; bpl: buckets per lane (the top window has
-    a truncated digit range, so its partition must cover fewer keys or all
-    points collapse into a handful of lanes).  Returns (bucket-reduced
-    Jacobian point [16, 1] x3, overflow flag)."""
-    num_buckets = (1 << (c - 1)) + 1          # bucket 0 unused + 1..2^(c-1)
-    dump = num_buckets                        # extra dump column
-
+    x, y: [16, n] affine Montgomery coords; inf: [n] bool; digits: [n]
+    int32 signed.  Lane l accumulates sub-bucket l; bucket key of lane l
+    is l // repl.  Returns (Jacobian total [16, 1] x3, overflow, bad).
+    """
     keys = jnp.abs(digits)
     keys = jnp.where(inf, 0, keys)
-    neg_y = mont.neg(FQ, y)
-    y_signed = jnp.where((digits < 0)[None], neg_y, y)
-
-    # sort by key, carry the original index
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad,), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     keys_sorted, perm = jax.lax.sort_key_val(keys, iota)
-    xs = jnp.take(x, perm, axis=1)
-    ys = jnp.take(y_signed, perm, axis=1)
 
-    # lane-partitioned layout: lane l owns buckets [l*bpl, (l+1)*bpl)
-    lane_start_keys = jnp.arange(lanes, dtype=jnp.int32) * bpl
-    starts = jnp.searchsorted(keys_sorted, lane_start_keys, side="left").astype(jnp.int32)
-    # key-0 points (zero digits / infinity) contribute nothing: skip them in
-    # lane 0 so sparse scalar vectors (structured selector polynomials!)
-    # neither overflow the lane nor waste accumulation rows
+    if repl > 1:
+        # split each bucket's run over `repl` sub-lanes by within-run rank
+        first = jnp.searchsorted(keys_sorted, keys_sorted, side="left").astype(jnp.int32)
+        last = jnp.searchsorted(keys_sorted, keys_sorted, side="right").astype(jnp.int32)
+        per = (last - first + repl - 1) // repl
+        sub = (iota - first) // jnp.maximum(per, 1)
+        subkeys = keys_sorted * repl + sub          # still sorted ascending
+    else:
+        subkeys = keys_sorted
+
+    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+    starts = jnp.searchsorted(subkeys, lane_ids, side="left").astype(jnp.int32)
+    # skip key-0 points (zero digits / infinity): they contribute nothing
     zero_end = jnp.searchsorted(keys_sorted, 1, side="left").astype(jnp.int32)
     starts = jnp.maximum(starts, zero_end)
-    ends = jnp.concatenate([starts[1:], jnp.asarray([n_pad], dtype=jnp.int32)])
+    ends = jnp.concatenate([starts[1:], jnp.asarray([n], dtype=jnp.int32)])
     counts = ends - starts
     overflow = jnp.max(counts) > r_max
 
-    # padded gather matrix [r_max, lanes]
+    # padded gather: column l = lane l's run of sorted positions
     rows = jax.lax.broadcasted_iota(jnp.int32, (r_max, lanes), 0)
-    gidx = starts[None, :] + rows
+    gpos = starts[None, :] + rows
     valid = rows < counts[None, :]
-    gidx = jnp.where(valid, jnp.minimum(gidx, n_pad - 1), 0)
-    kpad = jnp.where(valid, jnp.take(keys_sorted, gidx), dump)   # [r_max, lanes]
-    xpad = jnp.take(xs, gidx.reshape(-1), axis=1).reshape(NLIMBS, r_max, lanes)
-    ypad = jnp.take(ys, gidx.reshape(-1), axis=1).reshape(NLIMBS, r_max, lanes)
-
-    # serial accumulation with conflict-free flush
-    zero3 = ec.infinity(lanes)
-    buckets = tuple(jnp.zeros((NLIMBS, num_buckets + 1), dtype=jnp.uint32) for _ in range(3))
-    one = mont.one_mont(FQ, (lanes,))
+    gpos = jnp.where(valid, jnp.minimum(gpos, n - 1), 0)
+    gidx = jnp.take(perm, gpos.reshape(-1))          # original point indices
+    xpad = jnp.take(x, gidx, axis=1).reshape(NLIMBS, r_max, lanes)
+    ypad = jnp.take(y, gidx, axis=1).reshape(NLIMBS, r_max, lanes)
+    dneg = jnp.take(digits < 0, gidx).reshape(r_max, lanes)
 
     def body(r, carry):
-        acc, prev_key, buckets = carry
-        kr = jax.lax.dynamic_index_in_dim(kpad, r, axis=0, keepdims=False)
+        acc, bad = carry
         xr = jax.lax.dynamic_index_in_dim(xpad, r, axis=1, keepdims=False)
         yr = jax.lax.dynamic_index_in_dim(ypad, r, axis=1, keepdims=False)
-        is_real = kr != dump
-        start = kr != prev_key
-        # flush finished runs (prev_key valid and key changed)
-        flush = start & (prev_key != dump) & (prev_key != 0)
-        fk = jnp.where(flush, prev_key, num_buckets)
-        # non-flush lanes all target the dump column; garbage there is fine
-        buckets = tuple(b.at[:, fk].set(v) for b, v in zip(buckets, acc))
-        # extend or restart the run
-        lifted = (xr, yr, jnp.where(is_real[None], one, jnp.zeros_like(one)))
-        added = ec.add_mixed(acc, (xr, yr, ~is_real))
-        acc = ec.select(start, lifted, added)
-        return acc, kr, buckets
+        nr = jax.lax.dynamic_index_in_dim(dneg, r, axis=0, keepdims=False)
+        vr = jax.lax.dynamic_index_in_dim(valid, r, axis=0, keepdims=False)
+        yr = jnp.where(nr[None], mont.neg(FQ, yr), yr)
+        acc, b = ec.add_mixed_unchecked(acc, (xr, yr, ~vr))
+        return acc, bad | jnp.any(b & vr)
 
-    init_key = jnp.full((lanes,), dump, dtype=jnp.int32)
-    acc, prev_key, buckets = jax.lax.fori_loop(0, r_max, body, (zero3, init_key, buckets))
-    # final flush
-    flush = (prev_key != dump) & (prev_key != 0)
-    fk = jnp.where(flush, prev_key, num_buckets)
-    buckets = tuple(b.at[:, fk].set(v) for b, v in zip(buckets, acc))
+    bad0 = jnp.zeros((), dtype=bool)
+    pts, bad = jax.lax.fori_loop(0, r_max, body, (ec.infinity(lanes), bad0))
 
-    # weighted reduction sum_b b * S_b over columns 1..num_buckets-1:
+    if repl > 1:
+        # tree-fold sub-lanes: [16, num_buckets, repl] -> [16, num_buckets]
+        pts = tuple(a[:, :num_buckets * repl].reshape(NLIMBS, num_buckets, repl)
+                    for a in pts)
+        step = repl
+        while step > 1:
+            h = step // 2
+            lhs = tuple(a[:, :, :h] for a in pts)
+            rhs = tuple(a[:, :, h:step] for a in pts)
+            pts, b = ec.add_unchecked(lhs, rhs)
+            bad = bad | jnp.any(b)
+            step = h
+        pts = tuple(a[:, :, 0] for a in pts)
+    else:
+        pts = tuple(a[:, :num_buckets] for a in pts)
+
+    # weighted reduction sum_b b * S_b over buckets 1..num_buckets-1:
     # suffix scan then total sum, both as Hillis-Steele add-shift rounds.
-    bx, by, bz = (b[:, :num_buckets] for b in buckets)
+    bx, by, bz = pts
     bz = bz.at[:, 0].set(0)  # bucket 0 excluded
+    pts = (bx, by, bz)
 
     def shift_cols_left(p, d):
-        # (x, y, z) shifted left by d columns, vacated columns = infinity (z=0)
+        # (x, y, z) shifted left by d columns, vacated columns = infinity
         cols = jax.lax.broadcasted_iota(jnp.int32, (num_buckets,), 0)
         mask = cols < (num_buckets - d)
         return tuple(jnp.where(mask[None], jnp.roll(a, -d, axis=1), 0) for a in p)
 
     rounds = max(1, (num_buckets - 1).bit_length())
 
-    def hillis_body(i, p):
-        d = jnp.int32(1) << i
-        return ec.add(p, shift_cols_left(p, d))
+    def hillis_body(i, carry):
+        p, bad = carry
+        s, b = ec.add_unchecked(p, shift_cols_left(p, jnp.int32(1) << i))
+        return s, bad | jnp.any(b)
 
-    p = jax.lax.fori_loop(0, rounds, hillis_body, (bx, by, bz))
-    # p[:, b] = sum_{k>=b} S_k ; total = sum_{b>=1} p[:, b]
-    q = shift_cols_left(p, 1)
-    q = jax.lax.fori_loop(0, rounds, hillis_body, q)
+    pts, bad = jax.lax.fori_loop(0, rounds, hillis_body, (pts, bad))
+    # pts[:, b] = sum_{k>=b} S_k ; total = sum_{b>=1} pts[:, b]
+    q = shift_cols_left(pts, 1)
+    q, bad = jax.lax.fori_loop(0, rounds, hillis_body, (q, bad))
     total = tuple(a[:, :1] for a in q)
-    return total + (overflow,)
+    return total + (overflow, bad)
 
 
 @lru_cache(maxsize=None)
@@ -198,9 +206,25 @@ def _digits_jit(c: int, num_windows: int):
 
 
 @lru_cache(maxsize=None)
-def _window_jit(n_pad, c, lanes, r_max, bpl):
-    return jax.jit(partial(_window_kernel, n_pad=n_pad, c=c, lanes=lanes,
-                           r_max=r_max, bpl=bpl))
+def _windows_jit(n, lanes, r_max, repl, num_buckets):
+    """Window kernel mapped over a [W, n] digit batch.
+
+    Uses lax.map (sequential scan, body compiled once) rather than vmap:
+    each window already saturates the VPU (lanes x 16 limbs wide), and the
+    batched lowering of the padded gather at this size miscompiles on TPU
+    (observed: identical batch rows producing different results), while the
+    scanned form is correct and keeps only one window's padded gather live
+    in HBM."""
+    fn = partial(_window_kernel, n=n, lanes=lanes, r_max=r_max, repl=repl,
+                 num_buckets=num_buckets)
+
+    def run(x, y, inf, digits):
+        return jax.lax.map(lambda d: fn(x, y, inf, d), digits)
+    return jax.jit(run)
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
 
 
 class MSMContext:
@@ -228,29 +252,32 @@ class MSMContext:
         # 255 bits: top window must absorb the signed-digit carry
         self.num_windows = -(-255 // c)
         self.x, self.y, self.inf = x, y, inf
-        num_buckets = (1 << (c - 1)) + 1
+        half = 1 << (c - 1)
+        nk_uniform = half + 1                       # bucket keys 0..2^(c-1)
         if lanes is None:
-            # each lane must own several buckets so per-lane load averages
-            # out bucket-count variance (Poisson tails); cap so the serial
-            # accumulation depth r_max stays reasonable
-            lanes = max(128, min(2048, num_buckets // 4, self.n // 16 or 128))
+            lanes = _round_up(nk_uniform, 128)
+        lanes = max(lanes, nk_uniform)
         self.lanes = lanes
-        # per-window partition: the top window's digit magnitude is bounded
-        # by 2^(255 - (W-1)*c), usually far below 2^(c-1)
-        self.window_params = []
-        for w in range(self.num_windows):
-            if w == self.num_windows - 1:
-                top_bits = max(1, 255 - w * c)
-                key_hi = min((1 << (c - 1)), 1 << top_bits) + 1
-            else:
-                key_hi = (1 << (c - 1)) + 1
-            bpl = -(-key_hi // lanes)
-            eff_lanes = min(lanes, -(-key_hi // bpl))
-            mean = max(1, self.n // eff_lanes)
-            # 4x mean + slack: overflow probability is cryptographically
-            # small for uniform scalars (checked on device regardless)
-            r_max = 4 * mean + 64
-            self.window_params.append((bpl, r_max))
+
+        def rmax_for(mean):
+            mean = max(1, mean)
+            return _round_up(mean + 8 * math.isqrt(mean) + 64, 8)
+
+        # uniform windows: one bucket per lane
+        mean_uni = -(-self.n // max(1, nk_uniform - 1))
+        self.uni = dict(repl=1, num_buckets=nk_uniform, r_max=rmax_for(mean_uni))
+        # top window: digit magnitude <= 2^(255 - (W-1)*c); replicate its few
+        # buckets over sub-lanes so sequential depth stays uniform
+        top_bits = max(1, 255 - (self.num_windows - 1) * c)
+        key_hi = min(half, 1 << top_bits) + 1
+        repl = 1
+        while repl * 2 * key_hi <= lanes and repl < 64:
+            repl *= 2
+        mean_top = -(-self.n // max(1, (key_hi - 1) * repl))
+        self.top = dict(repl=repl, num_buckets=key_hi, r_max=rmax_for(mean_top))
+        # all uniform windows go through one lax.map dispatch; only one
+        # window's padded gather is ever live so no memory chunking needed
+        self.wchunk = max(1, self.num_windows - 1)
 
     def msm(self, scalars) -> "host affine point":
         """scalars: list of python ints (len <= n). Returns host affine point."""
@@ -268,7 +295,6 @@ class MSMContext:
         if raw.shape[1] < self.n:
             raw = jnp.pad(raw, ((0, 0), (0, self.n - raw.shape[1])))
         digits = _digits_jit(self.c, self.num_windows)(raw)
-        raw_host = None
 
         def fallback_scalars():
             return mont.FR.from_limbs_np(np.asarray(raw))
@@ -276,30 +302,54 @@ class MSMContext:
         return self._run_windows([digits[w] for w in range(self.num_windows)],
                                  fallback_scalars)
 
+    def _host_fallback(self, fallback_scalars):
+        from ..curve import g1_msm_host
+        if self.host_points is None and self.host_points_loader is not None:
+            self.host_points = list(self.host_points_loader())[:self.n]
+        if self.host_points is None:
+            raise RuntimeError(
+                "MSM lane overflow and no host fallback points available")
+        scalars = fallback_scalars()
+        from ..native import msm_native
+        res = msm_native(self.host_points, scalars)
+        if res is not False:
+            return res
+        return g1_msm_host(self.host_points, scalars)
+
     def _run_windows(self, digit_rows, fallback_scalars):
-        from ..curve import g1_add, g1_mul, g1_msm_host
-        window_points = []
-        for w in range(self.num_windows):
-            bpl, r_max = self.window_params[w]
-            fn = _window_jit(self.n, self.c, self.lanes, r_max, bpl)
-            tx, ty, tz, overflow = fn(self.x, self.y, self.inf, digit_rows[w])
-            if bool(overflow):
-                # adversarial bucket skew -- fall back to host (correctness first)
-                if self.host_points is None and self.host_points_loader is not None:
-                    self.host_points = list(self.host_points_loader())[:self.n]
-                if self.host_points is None:
-                    raise RuntimeError(
-                        "MSM lane overflow and no host fallback points available")
-                scalars = fallback_scalars()
-                from ..native import msm_native
-                res = msm_native(self.host_points, scalars)
-                if res is not False:
-                    return res
-                return g1_msm_host(self.host_points, scalars)
-            window_points.append((tx, ty, tz))
+        from ..curve import g1_add, g1_mul
+        W = self.num_windows
+        uni_fn = _windows_jit(self.n, self.lanes, self.uni["r_max"], 1,
+                              self.uni["num_buckets"])
+        top_fn = _windows_jit(self.n, self.lanes, self.top["r_max"],
+                              self.top["repl"], self.top["num_buckets"])
+        window_points = [None] * W
+        flags = []
+        zeros = None
+        for cs in range(0, W - 1, self.wchunk):
+            chunk = digit_rows[cs:cs + self.wchunk]
+            if len(chunk) < self.wchunk:  # pad to the compiled batch shape
+                if zeros is None:
+                    zeros = jnp.zeros((self.n,), dtype=jnp.int32)
+                chunk = chunk + [zeros] * (self.wchunk - len(chunk))
+            tx, ty, tz, ovf, bad = uni_fn(self.x, self.y, self.inf,
+                                          jnp.stack(chunk))
+            for j in range(min(self.wchunk, W - 1 - cs)):
+                window_points[cs + j] = (tx[j], ty[j], tz[j])
+            flags.append(jnp.any(ovf) | jnp.any(bad))
+        tx, ty, tz, ovf, bad = top_fn(self.x, self.y, self.inf,
+                                      digit_rows[W - 1][None])
+        window_points[W - 1] = (tx[0], ty[0], tz[0])
+        flags.append(jnp.any(ovf) | jnp.any(bad))
+
+        if bool(jnp.any(jnp.stack(flags))):
+            # lane overflow or a flagged degenerate add (structured scalars /
+            # adversarial skew) -- fall back to host (correctness first)
+            return self._host_fallback(fallback_scalars)
+
         # combine on host: result = sum_w 2^(c w) * W_w
         result = None
-        for w in reversed(range(self.num_windows)):
+        for w in reversed(range(W)):
             pt = ec.to_affine_host(window_points[w])[0]
             if result is not None:
                 result = g1_mul(result, 1 << self.c)
