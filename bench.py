@@ -66,20 +66,30 @@ def main():
     x.block_until_ready()
     log(f"bases ready in {time.time() - t0:.1f}s")
 
-    # build MSM context directly from device affine arrays
-    ctx = MSMContext.from_device_affine(x, y, inf, c=13)
+    # build MSM context directly from device affine arrays; host fallback
+    # materializes the bases only if a flagged add / lane overflow ever fires
+    ctx = MSMContext.from_device_affine(
+        x, y, inf, c=13,
+        host_points_loader=lambda: affine_batch_to_host((x, y, inf)))
 
+    # scalars device-resident in Montgomery form: the headline measures the
+    # prover's msm_vec path (witness polys are already on device when the
+    # prover commits, see backend_jax.JaxBackend)
+    from plonkit_tpu.tpu import mont
     scalars = [rng.randrange(R) for _ in range(n)]
+    v_mont = jax.jit(lambda raw: mont.to_mont(FR, raw))(
+        jnp.asarray(FR.to_limbs_np(scalars)))
+    v_mont.block_until_ready()
 
     log("warmup / compile...")
     t0 = time.time()
-    _ = ctx.msm(scalars)
+    _ = ctx.msm_vec(v_mont)
     log(f"first msm (incl. compile): {time.time() - t0:.1f}s")
 
     runs = 3
     t0 = time.time()
     for _ in range(runs):
-        _ = ctx.msm(scalars)
+        _ = ctx.msm_vec(v_mont)
     dt = (time.time() - t0) / runs
     pps = n / dt
     log(f"msm 2^{MSM_SIZE_LOG2}: {dt * 1000:.1f} ms -> {pps / 1e6:.2f}M points/s")

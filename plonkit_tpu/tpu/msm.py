@@ -266,14 +266,17 @@ class MSMContext:
         # uniform windows: one bucket per lane
         mean_uni = -(-self.n // max(1, nk_uniform - 1))
         self.uni = dict(repl=1, num_buckets=nk_uniform, r_max=rmax_for(mean_uni))
-        # top window: digit magnitude <= 2^(255 - (W-1)*c); replicate its few
-        # buckets over sub-lanes so sequential depth stays uniform
-        top_bits = max(1, 255 - (self.num_windows - 1) * c)
-        key_hi = min(half, 1 << top_bits) + 1
+        # top window: scalars are < FR_MODULUS, so the top digit is bounded by
+        # the *modulus'* top bits (plus the signed-digit carry), NOT by the
+        # full 2^(255 mod c) window range -- e.g. for c=13 only keys 0..97
+        # ever occur.  Sizing r_max from the occupied span (not the window
+        # range) is what keeps uniform scalars from overflowing the lanes.
+        max_key = min(half, (FR_MODULUS >> ((self.num_windows - 1) * c)) + 1)
+        key_hi = max_key + 1                       # bucket keys 0..max_key
         repl = 1
         while repl * 2 * key_hi <= lanes and repl < 64:
             repl *= 2
-        mean_top = -(-self.n // max(1, (key_hi - 1) * repl))
+        mean_top = -(-self.n // max(1, max_key * repl))
         self.top = dict(repl=repl, num_buckets=key_hi, r_max=rmax_for(mean_top))
         # all uniform windows go through one lax.map dispatch; only one
         # window's padded gather is ever live so no memory chunking needed
