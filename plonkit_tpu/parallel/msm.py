@@ -24,8 +24,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..fields import FR_MODULUS
 from ..tpu import ec
+from ..tpu import pallas_kernels as pk
 from ..tpu.mont import NLIMBS
-from ..tpu.msm import _round_up, _window_kernel, signed_digits_np
+from ..tpu.msm import (_round_up, _window_kernel, _window_pallas,
+                       signed_digits_np)
 from .mesh import AXIS
 
 
@@ -57,9 +59,11 @@ def _dist_windows_fn(n: int, n_devices: int, c: int, mesh_id: int):
         repl *= 2
     r_top = _rmax_for(-(-n_local // max(1, max_key * repl)))
 
-    uni = partial(_window_kernel, n=n_local, lanes=lanes, r_max=r_uni,
+    # VMEM-resident pallas sweep on TPU meshes; jnp path on the CPU test mesh
+    kern = _window_kernel if pk._use_jnp_fallback() else _window_pallas
+    uni = partial(kern, n=n_local, lanes=lanes, r_max=r_uni,
                   repl=1, num_buckets=nk_uniform)
-    top = partial(_window_kernel, n=n_local, lanes=lanes, r_max=r_top,
+    top = partial(kern, n=n_local, lanes=lanes, r_max=r_top,
                   repl=repl, num_buckets=key_hi)
 
     def body(x, y, inf, digits):

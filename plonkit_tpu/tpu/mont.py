@@ -206,8 +206,11 @@ def select(flag, a, b):
 
 
 def one_mont(spec: FieldSpec, shape=()):
-    limbs = jnp.asarray(spec.one_mont_limbs, dtype=jnp.uint32)
-    return jnp.broadcast_to(limbs.reshape((NLIMBS,) + (1,) * len(shape)), (NLIMBS,) + tuple(shape))
+    # built from per-limb *scalar* constants (not a captured [16] array) so
+    # it is legal inside pallas kernel bodies, like the rest of this module
+    limbs = jnp.stack([jnp.full(tuple(shape), int(l), dtype=jnp.uint32)
+                       for l in spec.one_mont_limbs])
+    return limbs
 
 
 def zero(shape=()):

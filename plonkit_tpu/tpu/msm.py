@@ -168,58 +168,181 @@ def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets):
     return total + (overflow, bad)
 
 
-@lru_cache(maxsize=None)
-def _digits_jit(c: int, num_windows: int):
+def _window_pallas(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets,
+                   interpret=False):
+    """Pallas variant of _window_kernel: same sort/gather prologue (XLA),
+    then the VMEM-resident sweep + fold kernels from msm_pallas.py (the
+    jnp accumulation loop is HBM-bound because XLA does not fuse the
+    ~700-op mixed-add graph; see msm_pallas.py)."""
+    from . import msm_pallas
+
+    keys = jnp.abs(digits)
+    keys = jnp.where(inf, 0, keys)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    keys_sorted, perm = jax.lax.sort_key_val(keys, iota)
+
+    if repl > 1:
+        first = jnp.searchsorted(keys_sorted, keys_sorted, side="left").astype(jnp.int32)
+        last = jnp.searchsorted(keys_sorted, keys_sorted, side="right").astype(jnp.int32)
+        per = (last - first + repl - 1) // repl
+        sub = (iota - first) // jnp.maximum(per, 1)
+        subkeys = keys_sorted * repl + sub
+    else:
+        subkeys = keys_sorted
+
+    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+    starts = jnp.searchsorted(subkeys, lane_ids, side="left").astype(jnp.int32)
+    zero_end = jnp.searchsorted(keys_sorted, 1, side="left").astype(jnp.int32)
+    starts = jnp.maximum(starts, zero_end)
+    ends = jnp.concatenate([starts[1:], jnp.asarray([n], dtype=jnp.int32)])
+    counts = ends - starts
+    overflow = jnp.max(counts) > r_max
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r_max, lanes), 0)
+    gpos = starts[None, :] + rows
+    valid = rows < counts[None, :]
+    gpos = jnp.where(valid, jnp.minimum(gpos, n - 1), 0)
+    gidx = jnp.take(perm, gpos.reshape(-1))
+    xpad = jnp.take(x, gidx, axis=1).reshape(NLIMBS, r_max, lanes)
+    ypad = jnp.take(y, gidx, axis=1)                       # [16, r_max*lanes]
+    dneg = jnp.take(digits < 0, gidx)
+    ypad = jnp.where(dneg[None] & valid.reshape(-1)[None],
+                     mont.neg(FQ, ypad), ypad).reshape(NLIMBS, r_max, lanes)
+    inf_u32 = (~valid).astype(jnp.uint32)
+
+    bx, by, bz, badvec = msm_pallas.sweep(xpad, ypad, inf_u32,
+                                          interpret=interpret)
+
+    cols = jnp.arange(lanes, dtype=jnp.int32)[None, :]     # [1, lanes]
+    nbr = num_buckets * repl
+    pts = (bx, by, bz)
+
+    # sub-lane tree fold (top window): lane = bucket*repl + sub
+    step = repl
+    while step > 1:
+        h = step // 2
+        mask = ((cols % repl) < h).astype(jnp.uint32)
+        pts, badvec = msm_pallas.fold_round(pts, badvec, mask, h,
+                                            interpret=interpret)
+        step = h
+
+    # keep only bucket representatives (sub == 0), drop bucket 0 and the
+    # out-of-range tail; vacated columns become infinity (z = 0)
+    keep = (cols % repl == 0) & (cols >= repl) & (cols < nbr)
+    pts = (pts[0], pts[1], jnp.where(keep, pts[2], 0))
+
+    # weighted reduction sum_b b*S_b: suffix scan + prefix total, both as
+    # Hillis-Steele rounds of masked roll-adds (shift in units of repl)
+    rounds = max(1, (num_buckets - 1).bit_length())
+    for i in range(rounds):
+        d = 1 << i
+        mask = (cols < (num_buckets - d) * repl).astype(jnp.uint32)
+        pts, badvec = msm_pallas.fold_round(pts, badvec, mask, d * repl,
+                                            interpret=interpret)
+    # pts[:, b*repl] = sum_{k>=b} S_k; shift one bucket, then total
+    shift_mask = cols < (num_buckets - 1) * repl
+    pts = tuple(jnp.where(shift_mask, jnp.roll(a, -repl, axis=1), 0) for a in pts)
+    for i in range(rounds):
+        d = 1 << i
+        mask = (cols < (num_buckets - d) * repl).astype(jnp.uint32)
+        pts, badvec = msm_pallas.fold_round(pts, badvec, mask, d * repl,
+                                            interpret=interpret)
+
+    total = tuple(a[:, :1] for a in pts)
+    bad = jnp.any(badvec != 0)
+    return total + (overflow, bad)
+
+
+def _digits_body(raw, c: int, num_windows: int):
     """Device-side signed digit decomposition from [16, N] canonical 16-bit
     limbs (mirror of signed_digits_np): keeps MSM inputs on device so
     repeated commitments never round-trip through python ints."""
     half = 1 << (c - 1)
+    digs = []
+    for w in range(num_windows):
+        bit0 = w * c
+        limb0 = bit0 // 16
+        off = bit0 % 16
+        val = raw[limb0] >> off
+        have = 16 - off
+        lidx = limb0 + 1
+        while have < c and lidx < NLIMBS:
+            val = val | (raw[lidx] << have)
+            have += 16
+            lidx += 1
+        digs.append((val & ((1 << c) - 1)).astype(jnp.int32))
+    digits = jnp.stack(digs)
 
-    def f(raw):
-        digs = []
-        for w in range(num_windows):
-            bit0 = w * c
-            limb0 = bit0 // 16
-            off = bit0 % 16
-            val = raw[limb0] >> off
-            have = 16 - off
-            lidx = limb0 + 1
-            while have < c and lidx < NLIMBS:
-                val = val | (raw[lidx] << have)
-                have += 16
-                lidx += 1
-            digs.append((val & ((1 << c) - 1)).astype(jnp.int32))
-        digits = jnp.stack(digs)
+    def body(w, st):
+        carry, out = st
+        d = digits[w] + carry
+        new_carry = (d > half).astype(jnp.int32)
+        d = d - (new_carry << c)
+        return new_carry, out.at[w].set(d)
 
-        def body(w, st):
-            carry, out = st
-            d = digits[w] + carry
-            new_carry = (d > half).astype(jnp.int32)
-            d = d - (new_carry << c)
-            return new_carry, out.at[w].set(d)
+    carry = jnp.zeros((digits.shape[1],), jnp.int32)
+    out = jnp.zeros_like(digits)
+    _, out = jax.lax.fori_loop(0, num_windows, body, (carry, out))
+    return out
 
-        carry = jnp.zeros((digits.shape[1],), jnp.int32)
-        out = jnp.zeros_like(digits)
-        _, out = jax.lax.fori_loop(0, num_windows, body, (carry, out))
-        return out
-    return jax.jit(f)
+
+def _combine_body(wx, wy, wz, W: int, c: int):
+    """Window combine: result = sum_w 2^(c*w) * W_w via Horner from the top
+    window (c doublings + one complete add per window), on [W, 16, 1]
+    Jacobian stacks."""
+    def body(i, acc):
+        acc = jax.lax.fori_loop(0, c, lambda _, p: ec.double(p), acc)
+        w = W - 2 - i
+        return ec.add(acc, (wx[w], wy[w], wz[w]))
+    return jax.lax.fori_loop(0, W - 1, body, (wx[W - 1], wy[W - 1], wz[W - 1]))
+
+
+def _msm_from_digits(x, y, inf, digits, *, n, lanes, c, W, uni, top,
+                     use_pallas=False):
+    """Full MSM from a [W, n] digit matrix: all windows + device combine.
+    lax.map (sequential scan, body compiled once) rather than vmap over the
+    uniform windows: each window already saturates the VPU (lanes x 16 limbs
+    wide), the batched lowering of the padded gather miscompiles on TPU
+    (observed: identical batch rows producing different results), and the
+    scanned form keeps only one window's padded gather live in HBM."""
+    kern = _window_pallas if use_pallas else _window_kernel
+    uni_fn = partial(kern, n=n, lanes=lanes, r_max=uni["r_max"],
+                     repl=1, num_buckets=uni["num_buckets"])
+    top_fn = partial(kern, n=n, lanes=lanes, r_max=top["r_max"],
+                     repl=top["repl"], num_buckets=top["num_buckets"])
+    tx, ty, tz, ovf, bad = jax.lax.map(
+        lambda d: uni_fn(x, y, inf, d), digits[:W - 1])
+    hx, hy, hz, hovf, hbad = top_fn(x, y, inf, digits[W - 1])
+    wx = jnp.concatenate([tx, hx[None]], axis=0)
+    wy = jnp.concatenate([ty, hy[None]], axis=0)
+    wz = jnp.concatenate([tz, hz[None]], axis=0)
+    res = _combine_body(wx, wy, wz, W, c)
+    flag = jnp.any(ovf) | jnp.any(bad) | hovf | hbad
+    return res, flag
 
 
 @lru_cache(maxsize=None)
-def _windows_jit(n, lanes, r_max, repl, num_buckets):
-    """Window kernel mapped over a [W, n] digit batch.
+def _msm_digits_jit(n, lanes, c, W, uni_key, top_key, use_pallas):
+    """One-dispatch MSM from host-computed digits (msm() path)."""
+    fn = partial(_msm_from_digits, n=n, lanes=lanes, c=c, W=W,
+                 uni=dict(uni_key), top=dict(top_key), use_pallas=use_pallas)
+    return jax.jit(fn)
 
-    Uses lax.map (sequential scan, body compiled once) rather than vmap:
-    each window already saturates the VPU (lanes x 16 limbs wide), and the
-    batched lowering of the padded gather at this size miscompiles on TPU
-    (observed: identical batch rows producing different results), while the
-    scanned form is correct and keeps only one window's padded gather live
-    in HBM."""
-    fn = partial(_window_kernel, n=n, lanes=lanes, r_max=r_max, repl=repl,
-                 num_buckets=num_buckets)
 
-    def run(x, y, inf, digits):
-        return jax.lax.map(lambda d: fn(x, y, inf, d), digits)
+@lru_cache(maxsize=None)
+def _msm_vec_jit(n, n_in, lanes, c, W, uni_key, top_key, use_pallas):
+    """One-dispatch MSM from device Montgomery Fr limbs: from-Montgomery,
+    digit decomposition, all windows, and the Horner combine fused into a
+    single compiled program (per-op dispatch through the remote-TPU tunnel
+    costs ~10ms; the eager variant spent seconds on it per MSM)."""
+    def run(x, y, inf, v_mont):
+        raw = mont.from_mont(mont.FR, v_mont)
+        if n_in < n:
+            raw = jnp.pad(raw, ((0, 0), (0, n - n_in)))
+        digits = _digits_body(raw, c, W)
+        return _msm_from_digits(x, y, inf, digits, n=n, lanes=lanes, c=c,
+                                W=W, uni=dict(uni_key), top=dict(top_key),
+                                use_pallas=use_pallas)
     return jax.jit(run)
 
 
@@ -278,9 +401,13 @@ class MSMContext:
             repl *= 2
         mean_top = -(-self.n // max(1, max_key * repl))
         self.top = dict(repl=repl, num_buckets=key_hi, r_max=rmax_for(mean_top))
-        # all uniform windows go through one lax.map dispatch; only one
-        # window's padded gather is ever live so no memory chunking needed
-        self.wchunk = max(1, self.num_windows - 1)
+        # hashable configs for the lru_cached jit factories
+        self._uni_key = tuple(sorted(self.uni.items()))
+        self._top_key = tuple(sorted(self.top.items()))
+        # VMEM-resident pallas sweep on TPU; jnp accumulation on CPU (Mosaic
+        # kernels don't run there and interpret mode is orders slower)
+        from . import pallas_kernels as pk
+        self._use_pallas = not pk._use_jnp_fallback()
 
     def msm(self, scalars) -> "host affine point":
         """scalars: list of python ints (len <= n). Returns host affine point."""
@@ -288,22 +415,24 @@ class MSMContext:
         if len(scalars) < self.n:
             scalars = scalars + [0] * (self.n - len(scalars))
         digits = signed_digits_np(scalars, self.c, self.num_windows)
-        rows = [jnp.asarray(digits[w]) for w in range(self.num_windows)]
-        return self._run_windows(rows, lambda: scalars)
+        fn = _msm_digits_jit(self.n, self.lanes, self.c, self.num_windows,
+                             self._uni_key, self._top_key, self._use_pallas)
+        res, flag = fn(self.x, self.y, self.inf, jnp.asarray(digits))
+        return self._finish(res, flag, lambda: scalars)
 
     def msm_vec(self, v_mont) -> "host affine point":
-        """v_mont: [16, N] device Montgomery Fr limbs (N <= n).  Digits are
-        extracted on device -- no python-int round trip."""
-        raw = mont.from_mont(mont.FR, v_mont)
-        if raw.shape[1] < self.n:
-            raw = jnp.pad(raw, ((0, 0), (0, self.n - raw.shape[1])))
-        digits = _digits_jit(self.c, self.num_windows)(raw)
+        """v_mont: [16, N] device Montgomery Fr limbs (N <= n).  One fused
+        dispatch: digits are extracted on device, no python-int round trip."""
+        fn = _msm_vec_jit(self.n, v_mont.shape[1], self.lanes, self.c,
+                          self.num_windows, self._uni_key, self._top_key,
+                          self._use_pallas)
+        res, flag = fn(self.x, self.y, self.inf, v_mont)
 
         def fallback_scalars():
-            return mont.FR.from_limbs_np(np.asarray(raw))
+            return mont.FR.from_mont_np(np.asarray(v_mont)) + \
+                [0] * (self.n - v_mont.shape[1])
 
-        return self._run_windows([digits[w] for w in range(self.num_windows)],
-                                 fallback_scalars)
+        return self._finish(res, flag, fallback_scalars)
 
     def _host_fallback(self, fallback_scalars):
         from ..curve import g1_msm_host
@@ -319,42 +448,10 @@ class MSMContext:
             return res
         return g1_msm_host(self.host_points, scalars)
 
-    def _run_windows(self, digit_rows, fallback_scalars):
-        from ..curve import g1_add, g1_mul
-        W = self.num_windows
-        uni_fn = _windows_jit(self.n, self.lanes, self.uni["r_max"], 1,
-                              self.uni["num_buckets"])
-        top_fn = _windows_jit(self.n, self.lanes, self.top["r_max"],
-                              self.top["repl"], self.top["num_buckets"])
-        window_points = [None] * W
-        flags = []
-        zeros = None
-        for cs in range(0, W - 1, self.wchunk):
-            chunk = digit_rows[cs:cs + self.wchunk]
-            if len(chunk) < self.wchunk:  # pad to the compiled batch shape
-                if zeros is None:
-                    zeros = jnp.zeros((self.n,), dtype=jnp.int32)
-                chunk = chunk + [zeros] * (self.wchunk - len(chunk))
-            tx, ty, tz, ovf, bad = uni_fn(self.x, self.y, self.inf,
-                                          jnp.stack(chunk))
-            for j in range(min(self.wchunk, W - 1 - cs)):
-                window_points[cs + j] = (tx[j], ty[j], tz[j])
-            flags.append(jnp.any(ovf) | jnp.any(bad))
-        tx, ty, tz, ovf, bad = top_fn(self.x, self.y, self.inf,
-                                      digit_rows[W - 1][None])
-        window_points[W - 1] = (tx[0], ty[0], tz[0])
-        flags.append(jnp.any(ovf) | jnp.any(bad))
-
-        if bool(jnp.any(jnp.stack(flags))):
+    def _finish(self, res, flag, fallback_scalars):
+        flag_np, res_np = jax.device_get((flag, res))
+        if bool(flag_np):
             # lane overflow or a flagged degenerate add (structured scalars /
             # adversarial skew) -- fall back to host (correctness first)
             return self._host_fallback(fallback_scalars)
-
-        # combine on host: result = sum_w 2^(c w) * W_w
-        result = None
-        for w in reversed(range(W)):
-            pt = ec.to_affine_host(window_points[w])[0]
-            if result is not None:
-                result = g1_mul(result, 1 << self.c)
-            result = g1_add(result, pt)
-        return result
+        return ec.to_affine_host(res_np)[0]

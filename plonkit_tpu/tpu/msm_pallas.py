@@ -1,0 +1,170 @@
+"""Pallas TPU kernels for the MSM bucket accumulation (hot kernel #1).
+
+The jnp window kernel leaves the ~700-vector-op mixed-add graph to XLA,
+which does not fuse it (same failure as pallas_kernels.py documents for
+mont_mul): every accumulation round spilled hundreds of [16, lanes]
+intermediates to HBM, making the sweep bandwidth-bound at ~60x below VPU
+speed.  These kernels keep the bucket accumulator resident in VMEM across
+all r_max rounds, so each round costs one block read and pure VPU compute.
+
+Two kernels:
+
+  * `sweep` -- grid (lane_blocks, row_blocks), rows innermost: the
+    loop-carried Jacobian accumulator (= the bucket table) lives in VMEM
+    scratch per lane block; the per-point negation is folded into ypad by
+    the caller (XLA elementwise).  The lane axis is blocked because Mosaic
+    stack-allocates the unrolled mixed-add temporaries (full-width blocks
+    measured 34.6 MiB > the 16 MiB VMEM budget).
+  * `padd` -- elementwise unchecked Jacobian add of two point vectors,
+    lane-tiled.  The bucket-reduction rolls/masks happen in XLA (pure data
+    movement), so ONE kernel variant serves the sub-lane fold and both
+    Hillis-Steele passes at every shift.
+
+Both reuse ec.py's Jacobian formulas verbatim (jnp ops lower to Mosaic
+inside the kernel), so correctness is inherited from the host-oracle
+tests.  CPU fallback: callers keep the jnp path (see tpu/msm.py)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ec
+from .mont import NLIMBS
+
+# rows of the padded gather consumed per grid step; r_max is rounded to a
+# multiple of 8 by the caller, and Mosaic requires the block's
+# second-to-last dim to be a multiple of 8
+R_BLK = 8
+
+_KERNEL_CACHE = {}
+
+
+def _lane_block(lanes: int, cap: int = 512) -> int:
+    """Largest divisor of `lanes` that is a multiple of 128 and <= cap."""
+    best = 0
+    d = 128
+    while d <= min(lanes, cap):
+        if lanes % d == 0:
+            best = d
+        d += 128
+    return best or lanes
+
+
+def _sweep_body(r_steps, xp_ref, yp_ref, inf_ref, ox_ref, oy_ref,
+                oz_ref, bad_ref, accx, accy, accz, badacc):
+    rb = pl.program_id(1)
+
+    @pl.when(rb == 0)
+    def _():
+        accx[...] = jnp.zeros_like(accx)
+        accy[...] = jnp.zeros_like(accy)
+        accz[...] = jnp.zeros_like(accz)   # z == 0 encodes infinity
+        badacc[...] = jnp.zeros_like(badacc)
+
+    acc = (accx[...], accy[...], accz[...])
+    bad = badacc[...]
+    for j in range(R_BLK):
+        x2 = xp_ref[:, j, :]
+        y2 = yp_ref[:, j, :]
+        q_inf = inf_ref[j, :] != 0
+        acc, b = ec.add_mixed_unchecked(acc, (x2, y2, q_inf))
+        bad = bad | (b & ~q_inf)[None].astype(jnp.uint32)
+    accx[...], accy[...], accz[...] = acc
+    badacc[...] = bad
+
+    @pl.when(rb == r_steps - 1)
+    def _():
+        ox_ref[...] = accx[...]
+        oy_ref[...] = accy[...]
+        oz_ref[...] = accz[...]
+        bad_ref[...] = badacc[...]
+
+
+def sweep(xp, yp, inf_u32, *, interpret=False):
+    """xp, yp: [16, r_max, lanes] gathered affine coords (y already
+    sign-folded); inf_u32: [r_max, lanes] nonzero = padding/infinity.
+    Returns bucket table (x, y, z) each [16, lanes] + bad [1, lanes] u32."""
+    _, r_max, lanes = xp.shape
+    assert r_max % R_BLK == 0, r_max
+    r_steps = r_max // R_BLK
+    lb = _lane_block(lanes)
+    key = ("sweep", r_max, lanes, lb, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        coord = jax.ShapeDtypeStruct((NLIMBS, lanes), jnp.uint32)
+        fn = jax.jit(pl.pallas_call(
+            partial(_sweep_body, r_steps),
+            grid=(lanes // lb, r_steps),
+            in_specs=[
+                pl.BlockSpec((NLIMBS, R_BLK, lb), lambda l, r: (0, r, l)),
+                pl.BlockSpec((NLIMBS, R_BLK, lb), lambda l, r: (0, r, l)),
+                pl.BlockSpec((R_BLK, lb), lambda l, r: (r, l)),
+            ],
+            out_specs=[
+                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
+                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
+                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
+                pl.BlockSpec((1, lb), lambda l, r: (0, l)),
+            ],
+            out_shape=[coord, coord, coord,
+                       jax.ShapeDtypeStruct((1, lanes), jnp.uint32)],
+            scratch_shapes=[
+                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
+                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
+                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
+                pltpu.VMEM((1, lb), jnp.uint32),
+            ],
+            interpret=interpret,
+        ))
+        _KERNEL_CACHE[key] = fn
+    return fn(xp, yp, inf_u32)
+
+
+def _padd_body(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref, bad_ref,
+               ox_ref, oy_ref, oz_ref, obad_ref):
+    p = (px_ref[...], py_ref[...], pz_ref[...])
+    q = (qx_ref[...], qy_ref[...], qz_ref[...])
+    res, b = ec.add_unchecked(p, q)
+    ox_ref[...], oy_ref[...], oz_ref[...] = res
+    # infinity partners take the select path and never flag, so masked-out
+    # columns (qz forced 0 by the caller) contribute no false positives
+    obad_ref[...] = bad_ref[...] | b[None].astype(jnp.uint32)
+
+
+def padd(pts, q, badvec, *, interpret=False):
+    """Unchecked Jacobian add of point vectors pts + q (each 3x[16, lanes]),
+    accumulating degenerate-add flags into badvec [1, lanes] u32."""
+    lanes = pts[0].shape[1]
+    lb = _lane_block(lanes)
+    key = ("padd", lanes, lb, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        coord = jax.ShapeDtypeStruct((NLIMBS, lanes), jnp.uint32)
+        flag = jax.ShapeDtypeStruct((1, lanes), jnp.uint32)
+        cspec = pl.BlockSpec((NLIMBS, lb), lambda l: (0, l))
+        fspec = pl.BlockSpec((1, lb), lambda l: (0, l))
+        fn = jax.jit(pl.pallas_call(
+            _padd_body,
+            grid=(lanes // lb,),
+            in_specs=[cspec, cspec, cspec, cspec, cspec, cspec, fspec],
+            out_specs=[cspec, cspec, cspec, fspec],
+            out_shape=[coord, coord, coord, flag],
+            interpret=interpret,
+        ))
+        _KERNEL_CACHE[key] = fn
+    ox, oy, oz, ob = fn(pts[0], pts[1], pts[2], q[0], q[1], q[2], badvec)
+    return (ox, oy, oz), ob
+
+
+def fold_round(pts, badvec, mask_u32, shift, *, interpret=False):
+    """One masked roll-and-add round: pts[:, c] += pts[:, c+shift] where
+    mask[c] != 0 (inactive partners add as infinity).  The roll and mask are
+    XLA data movement; the add is the lane-tiled `padd` kernel."""
+    mask = mask_u32 != 0
+    qx = jnp.roll(pts[0], -shift, axis=1)
+    qy = jnp.roll(pts[1], -shift, axis=1)
+    qz = jnp.where(mask, jnp.roll(pts[2], -shift, axis=1), 0)
+    return padd(pts, (qx, qy, qz), badvec, interpret=interpret)

@@ -1,0 +1,55 @@
+"""The pallas MSM window (interpret mode on CPU) vs the jnp window kernel
+(reference behavior: bellman_ce multiexp, SURVEY D1c).
+
+Interpret-mode pallas is slow (minutes per kernel variant), so both tests
+share one `sweep` variant (r_max=16, lanes=128) and the single lane-tiled
+`padd` variant that serves every fold shift."""
+
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from plonkit_tpu.curve import G1_GEN, g1_mul
+from plonkit_tpu.fields import FR_MODULUS as R
+from plonkit_tpu.tpu import ec
+from plonkit_tpu.tpu.msm import (_window_kernel, _window_pallas,
+                                 signed_digits_np)
+
+
+def _setup(n, c, seed=3):
+    rng = random.Random(seed)
+    points = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    x, y, inf = ec.affine_from_host(points)
+    W = -(-255 // c)
+    digits = signed_digits_np(scalars, c, W)
+    return x, y, inf, digits, W
+
+
+def _compare(x, y, inf, d, cfg):
+    jx, jy, jz, jovf, jbad = _window_kernel(x, y, inf, d, **cfg)
+    px, py, pz, povf, pbad = _window_pallas(x, y, inf, d, interpret=True,
+                                            **cfg)
+    assert bool(jovf) == bool(povf) and not bool(povf)
+    assert bool(jbad) == bool(pbad) and not bool(pbad)
+    want = ec.to_affine_host((jx, jy, jz))[0]
+    got = ec.to_affine_host((px, py, pz))[0]
+    assert got == want
+
+
+@pytest.mark.slow  # interpret-mode pallas: minutes per kernel variant
+def test_window_pallas_matches_jnp_kernel():
+    n, c = 64, 4
+    x, y, inf, digits, W = _setup(n, c)
+    cfg = dict(n=n, lanes=128, r_max=16, repl=1, num_buckets=9)
+    _compare(x, y, inf, jnp.asarray(digits[1]), cfg)
+
+
+@pytest.mark.slow
+def test_window_pallas_top_window_repl():
+    n, c = 64, 4
+    x, y, inf, digits, W = _setup(n, c, seed=9)
+    # top-window config with sub-lane replication; same sweep/padd variants
+    cfg = dict(n=n, lanes=128, r_max=16, repl=4, num_buckets=5)
+    _compare(x, y, inf, jnp.asarray(digits[W - 1]), cfg)
