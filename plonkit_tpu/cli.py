@@ -54,6 +54,18 @@ def _backend(args):
         return HostBackend()
     try:
         import jax
+        # limb-kernel compiles are minutes-long (especially through the axon
+        # remote-compile tunnel); persist them so CLI runs start warm, same
+        # as tests/conftest.py and bench.py
+        try:
+            cache = os.environ.get(
+                "PLONKIT_TPU_JAX_CACHE",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".jax_cache"))
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
         platform = jax.devices()[0].platform
         from .backend_jax import JaxBackend
         return JaxBackend(interpret=(platform == "cpu" and os.environ.get(

@@ -316,7 +316,11 @@ def _msm_from_digits(x, y, inf, digits, *, n, lanes, c, W, uni, top,
     wx = jnp.concatenate([tx, hx[None]], axis=0)
     wy = jnp.concatenate([ty, hy[None]], axis=0)
     wz = jnp.concatenate([tz, hz[None]], axis=0)
-    res = _combine_body(wx, wy, wz, W, c)
+    if use_pallas:
+        from . import msm_pallas
+        res = msm_pallas.combine(wx, wy, wz, W, c)
+    else:
+        res = _combine_body(wx, wy, wz, W, c)
     flag = jnp.any(ovf) | jnp.any(bad) | hovf | hbad
     return res, flag
 

@@ -168,3 +168,49 @@ def fold_round(pts, badvec, mask_u32, shift, *, interpret=False):
     qy = jnp.roll(pts[1], -shift, axis=1)
     qz = jnp.where(mask, jnp.roll(pts[2], -shift, axis=1), 0)
     return padd(pts, (qx, qy, qz), badvec, interpret=interpret)
+
+
+def _combine_body(W, c, px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref):
+    """result = sum_w 2^(c*w) * P[:, w], P in columns 0..W-1 (cols >= W are
+    infinity).  Parallel formulation: batched doubling schedule (column w
+    doubles c*w times) then a 5-round tree fold -- ~250 batched point ops in
+    VMEM instead of ~250 sequential tiny XLA kernels."""
+    p = (px_ref[...], py_ref[...], pz_ref[...])
+    # 2D iota (1D iota is rejected by Mosaic), squeezed to the column axis
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, p[0].shape[1]), 1)[0]
+
+    def dbl_step(k, pts):
+        d = ec.double(pts)
+        return ec.select(k < c * cols, d, pts)
+
+    p = jax.lax.fori_loop(0, c * (W - 1), dbl_step, p)
+    # tree fold over the (padded-to-128) column axis; wrap-around columns
+    # never feed columns < W because W + sum(h) < width - max(h)
+    for h in (16, 8, 4, 2, 1):
+        q = tuple(jnp.roll(a, -h, axis=1) for a in p)
+        p = ec.add(p, q)
+    ox_ref[...], oy_ref[...], oz_ref[...] = p
+
+
+def combine(wx, wy, wz, W, c, *, interpret=False):
+    """Device window combine on [W, 16, 1] Jacobian stacks -> [16, 1]."""
+    assert W <= 100  # fold schedule assumes W + 31 < 128 - 16
+    width = 128
+    px = jnp.pad(jnp.transpose(wx[:, :, 0], (1, 0)), ((0, 0), (0, width - W)))
+    py = jnp.pad(jnp.transpose(wy[:, :, 0], (1, 0)), ((0, 0), (0, width - W)))
+    pz = jnp.pad(jnp.transpose(wz[:, :, 0], (1, 0)), ((0, 0), (0, width - W)))
+    key = ("combine", W, c, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        coord = jax.ShapeDtypeStruct((NLIMBS, width), jnp.uint32)
+        spec = pl.BlockSpec((NLIMBS, width), lambda: (0, 0))
+        fn = jax.jit(pl.pallas_call(
+            partial(_combine_body, W, c),
+            in_specs=[spec, spec, spec],
+            out_specs=[spec, spec, spec],
+            out_shape=[coord, coord, coord],
+            interpret=interpret,
+        ))
+        _KERNEL_CACHE[key] = fn
+    ox, oy, oz = fn(px, py, pz)
+    return (ox[:, :1], oy[:, :1], oz[:, :1])
