@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Stage-level timing breakdown of the 2^20 MSM (uses the bench base cache).
+
+Times, each jitted separately on the real TPU:
+  - digit decomposition (from Montgomery limbs)
+  - batched all-window sort
+  - one uniform window: gather only
+  - one uniform window: full (gather + sweep + reduction)
+  - full fused msm_vec (the headline path)
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import random
+
+from plonkit_tpu.fields import FR_MODULUS as R
+from plonkit_tpu.tpu import mont, msm as M
+from plonkit_tpu.tpu.mont import FR, NLIMBS
+from plonkit_tpu.tpu.msm import MSMContext
+
+LOG2 = int(os.environ.get("BENCH_MSM_LOG2", "20"))
+n = 1 << LOG2
+
+blob = np.load(os.path.join(repo, ".bench_cache", f"bases_{LOG2}.npz"))
+x = jnp.asarray(blob["x"]); y = jnp.asarray(blob["y"]); inf = jnp.asarray(blob["inf"])
+ctx = MSMContext.from_device_affine(x, y, inf, c=13)
+print(f"n=2^{LOG2} lanes={ctx.lanes} W={ctx.num_windows} uni={ctx.uni} top={ctx.top}",
+      file=sys.stderr)
+
+rng = random.Random(1234)
+scalars = [rng.randrange(R) for _ in range(n)]
+v_mont = jax.jit(lambda raw: mont.to_mont(FR, raw))(jnp.asarray(FR.to_limbs_np(scalars)))
+v_mont.block_until_ready()
+
+W = ctx.num_windows
+c = ctx.c
+
+
+def timeit(name, fn, *args, reps=3):
+    r = fn(*args)
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), r)
+    t0 = time.time()
+    for _ in range(reps):
+        r = fn(*args)
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), r)
+    dt = (time.time() - t0) / reps
+    print(f"{name:28s} {dt*1000:9.1f} ms", file=sys.stderr)
+    return r
+
+
+# 1. digits
+@jax.jit
+def digits_fn(v):
+    raw = mont.from_mont(FR, v)
+    return M._digits_body(raw, c, W)
+
+digits = timeit("digits", digits_fn, v_mont)
+
+# 2. batched sort
+@jax.jit
+def sort_fn(digits, inf):
+    keys = jnp.where(inf[None], 0, jnp.abs(digits))
+    iota = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (W, n))
+    return jax.lax.sort_key_val(keys, iota, dimension=1)
+
+keys_sorted, perm = timeit("batched sort [W,n]", sort_fn, digits, inf)
+
+# 3. one uniform window: gather only
+uni = ctx.uni
+@jax.jit
+def gather_fn(x, y, d, ks, pm):
+    starts, counts = M._lane_layout(ks, n=n, lanes=ctx.lanes, repl=1)
+    return M._gather_padded(x, y, d, pm, starts, counts, n=n,
+                            r_max=uni["r_max"], lanes=ctx.lanes)
+
+g = timeit("window gather", gather_fn, x, y, digits[0], keys_sorted[0], perm[0])
+
+# 4. sweep kernel only (pallas)
+from plonkit_tpu.tpu import msm_pallas
+xpad, ypad, inf_u32, _ = g
+sweep_fn = jax.jit(lambda a, b, cc: msm_pallas.sweep(a, b, cc))
+timeit("pallas sweep", sweep_fn, xpad, ypad, inf_u32)
+
+# 5. one full uniform window
+win_fn = jax.jit(partial(M._window_from_sorted, n=n, lanes=ctx.lanes,
+                         r_max=uni["r_max"], repl=1,
+                         num_buckets=uni["num_buckets"], use_pallas=True))
+timeit("window full", win_fn, x, y, digits[0], keys_sorted[0], perm[0])
+
+# 6. full fused msm
+def full(v):
+    return ctx.msm_vec(v)
+
+r = timeit("full msm_vec (host sync)", full, v_mont, reps=3)
+print("result ok", file=sys.stderr)
