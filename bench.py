@@ -55,10 +55,17 @@ def main():
     from plonkit_tpu.tpu.msm import MSMContext
 
     n = 1 << MSM_SIZE_LOG2
-    rng = random.Random(1234)
+    BASE_SEED = 1234
+    BASE_GEN_VERSION = 1  # bump when base-generation code changes
+    rng = random.Random(BASE_SEED)
 
     # ---- synthesize n distinct bases (disk-cached: ~2.5 min on device) ----
-    cache = os.path.join(repo, ".bench_cache", f"bases_{MSM_SIZE_LOG2}.npz")
+    cache = os.path.join(
+        repo, ".bench_cache",
+        f"bases_{MSM_SIZE_LOG2}_s{BASE_SEED}_v{BASE_GEN_VERSION}.npz")
+    legacy = os.path.join(repo, ".bench_cache", f"bases_{MSM_SIZE_LOG2}.npz")
+    if not os.path.exists(cache) and os.path.exists(legacy):
+        cache = legacy  # same seed/version; pre-rename cache file
     if os.path.exists(cache):
         log(f"loading bench bases from {cache}...")
         t0 = time.time()
@@ -91,9 +98,11 @@ def main():
 
     # scalars device-resident in Montgomery form: the headline measures the
     # prover's msm_vec path (witness polys are already on device when the
-    # prover commits, see backend_jax.JaxBackend)
+    # prover commits, see backend_jax.JaxBackend).  Dedicated RNG so the
+    # scalar stream is identical whether or not bases came from cache.
     from plonkit_tpu.tpu import mont
-    scalars = [rng.randrange(R) for _ in range(n)]
+    srng = random.Random(5678)
+    scalars = [srng.randrange(R) for _ in range(n)]
     v_mont = jax.jit(lambda raw: mont.to_mont(FR, raw))(
         jnp.asarray(FR.to_limbs_np(scalars)))
     v_mont.block_until_ready()

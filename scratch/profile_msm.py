@@ -34,7 +34,13 @@ from plonkit_tpu.tpu.msm import MSMContext
 LOG2 = int(os.environ.get("BENCH_MSM_LOG2", "20"))
 n = 1 << LOG2
 
-blob = np.load(os.path.join(repo, ".bench_cache", f"bases_{LOG2}.npz"))
+_cache = os.path.join(repo, ".bench_cache", f"bases_{LOG2}.npz")
+if not os.path.exists(_cache):
+    _cache = os.path.join(repo, ".bench_cache", f"bases_{LOG2}_s1234_v1.npz")
+if not os.path.exists(_cache):
+    sys.exit(f"no base cache for 2^{LOG2}; run `python bench.py` once "
+             f"(BENCH_MSM_LOG2={LOG2}) to generate it")
+blob = np.load(_cache)
 x = jnp.asarray(blob["x"]); y = jnp.asarray(blob["y"]); inf = jnp.asarray(blob["inf"])
 ctx = MSMContext.from_device_affine(x, y, inf, c=13)
 print(f"n=2^{LOG2} lanes={ctx.lanes} W={ctx.num_windows} uni={ctx.uni} top={ctx.top}",
@@ -49,15 +55,23 @@ W = ctx.num_windows
 c = ctx.c
 
 
+def _block(r):
+    # under the axon remote-TPU tunnel block_until_ready returns before the
+    # computation finishes; a device_get of one element is a true sync
+    leaves = [a for a in jax.tree_util.tree_leaves(r) if hasattr(a, "ndim")]
+    for a in leaves:
+        jax.device_get(a[(0,) * a.ndim] if a.ndim else a)
+
+
 def timeit(name, fn, *args, reps=3):
     r = fn(*args)
-    jax.tree_util.tree_map(lambda a: a.block_until_ready(), r)
+    _block(r)
     t0 = time.time()
     for _ in range(reps):
         r = fn(*args)
-    jax.tree_util.tree_map(lambda a: a.block_until_ready(), r)
+        _block(r)
     dt = (time.time() - t0) / reps
-    print(f"{name:28s} {dt*1000:9.1f} ms", file=sys.stderr)
+    print(f"{name:28s} {dt*1000:9.1f} ms", file=sys.stderr, flush=True)
     return r
 
 
