@@ -142,8 +142,58 @@ def neg(spec: FieldSpec, a):
     return jnp.where(is_zero(a)[None], z, sub(spec, z, a))
 
 
+def _pvec(spec: "FieldSpec", ndim: int):
+    """[16, 1, ...] modulus limb vector built from *scalar* constants
+    (pallas kernels reject captured array constants); built once per traced
+    kernel and amortized across every mul in it."""
+    shape = (NLIMBS,) + (1,) * ndim
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    out = jnp.zeros(shape, dtype=jnp.uint32)
+    for j in range(NLIMBS):
+        out = jnp.where(rows == j, jnp.uint32(int(spec.p_limbs[j])), out)
+    return out
+
+
 def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product a * b * R^-1 mod p (SOS, 16-bit limbs).
+    """Montgomery product a * b * R^-1 mod p (CIOS, 16-bit limbs).
+
+    Formulated so every multiply/accumulate is a *dense* [16/17, batch] op:
+    the SOS variant (`mont_mul_sos`) spends ~4x the VPU issue slots on
+    single-sublane [batch]-shaped column adds (a [batch] op occupies 1/8 of
+    each vreg), which made it the measured bottleneck of both the MSM sweep
+    and the NTT butterfly.  Accumulator T is [17, batch] redundant (limbs
+    < 2^23 — each iteration adds at most 4*(2^16-1) per limb and the
+    limb-shift restarts growth), so uint32 never overflows."""
+    batch_shape = a.shape[1:]
+    z1 = jnp.zeros((1,) + batch_shape, dtype=jnp.uint32)
+    pvec = _pvec(spec, len(batch_shape))
+    pp = jnp.uint32(spec.pprime)
+
+    T = jnp.zeros((NLIMBS + 1,) + batch_shape, dtype=jnp.uint32)
+    for i in range(NLIMBS):
+        prod = a[i][None] * b                       # [16, batch]
+        T = (T
+             + jnp.concatenate([prod & MASK, z1], axis=0)
+             + jnp.concatenate([z1, prod >> LIMB_BITS], axis=0))
+        m = ((T[0] & MASK) * pp) & MASK             # [batch]
+        prod2 = m[None] * pvec                      # [16, batch]
+        T = (T
+             + jnp.concatenate([prod2 & MASK, z1], axis=0)
+             + jnp.concatenate([z1, prod2 >> LIMB_BITS], axis=0))
+        # shift down one limb; T[0] is divisible by 2^16 — its high part
+        # carries into the new limb 0
+        T = jnp.concatenate([(T[1] + (T[0] >> LIMB_BITS))[None], T[2:], z1],
+                            axis=0)
+
+    limbs, _ = _carry16(T[:NLIMBS])
+    # T[16] is zero after the final shift (z1), and the redundant limbs
+    # carry-resolve to a < 2p value that the ripple keeps inside 16 limbs.
+    return _cond_sub_p(spec, limbs)
+
+
+def mont_mul_sos(spec: FieldSpec, a, b):
+    """Montgomery product a * b * R^-1 mod p (SOS, 16-bit limbs) — reference
+    formulation, kept for differential testing of `mont_mul`.
 
     Column sums stay < 2^23 (32 mul halves + 32 reduction halves + carries),
     so uint32 accumulators never overflow."""

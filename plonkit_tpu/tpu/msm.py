@@ -6,22 +6,37 @@ accumulation is reformulated so that **no scatter ever happens**:
 
   1. signed c-bit digit decomposition (host numpy or on-device);
   2. ONE batched sort of all windows' |digit| keys ([W, n], XLA sort along
-     the n axis) — a batched sort costs ~1/5 of W sequential sorts;
-  3. per window: **one bucket per vector lane**: lane b owns exactly
-     bucket b, so the run for bucket b is gathered into column b of a
-     [r_max, lanes] padded matrix and a fori_loop of batched *unchecked*
-     mixed-adds (11 field muls, no doubling fallback — impossible for
-     distinct SRS bases, flagged on device regardless) accumulates it.
-     The loop-carried accumulator IS the bucket table: no flush, no
-     scatter.
-  4. the top window's digits span only 2^(255 mod c) values, so its
+     the n axis) — a batched sort costs ~1/5 of W sequential sorts.  The
+     sort payload packs the point index and the digit's sign into one
+     uint32 (index | sign << 31), so no later per-slot index/sign gathers
+     are needed;
+  3. per window, a TWO-PHASE gather (XLA's gather is row-latency-bound at
+     ~32 ns/row on 256 B rows regardless of width, so the scattered pass
+     must touch each point exactly once and everything else must ride
+     contiguous rows):
+       a. phase a: one scattered row gather of the [n8, 64]-u32 point row
+          table (x | y | -y | inf, 256 B rows) into sorted order, folding
+          the digit sign by selecting y vs -y (column select, no field
+          negation) -> a [n8, 40]-u32 "sorted rows" array;
+       b. phase b: an 8-point-ALIGNED block gather (rows of 8 consecutive
+          sorted points; each lane's run [start, start+count) is covered
+          by blocks floor(start/8)..., so slot r of lane l holds sorted
+          position (start//8)*8 + r and validity is the pure arithmetic
+          (start mod 8) <= r < (start mod 8) + count — computed in-kernel
+          from two scalars per lane, no index gather);
+  4. **one bucket per vector lane**: lane b owns exactly bucket b; a
+     fori_loop of batched *unchecked* mixed-adds (11 field muls, no
+     doubling fallback — impossible for distinct SRS bases, flagged on
+     device regardless) accumulates the lane's run.  The loop-carried
+     accumulator IS the bucket table: no flush, no scatter.
+  5. the top window's digits span only 2^(255 mod c) values, so its
      buckets are *replicated* over `repl` sub-lanes (points of one bucket
      are split round-robin across sub-lanes by within-run rank) and the
      sub-lanes are tree-folded afterwards — this keeps the sequential
      depth r_max uniform across windows;
-  5. weighted bucket reduction sum(b * S_b) via two Hillis-Steele passes
+  6. weighted bucket reduction sum(b * S_b) via two Hillis-Steele passes
      (suffix scan + prefix reduction) of batched unchecked Jacobian adds;
-  6. windows combined on device (batched doubling + tree fold kernel).
+  7. windows combined on device (batched doubling + tree fold kernel).
 
 Lane padding r_max is intentionally tight — mean + 5*sqrt(mean) + 8
 (P[lane overflow] ~ 3e-7 per lane for uniform scalars; a 2^20 MSM retries
@@ -45,6 +60,41 @@ from ..fields import FR_MODULUS
 from . import ec, mont
 from .mont import FQ, NLIMBS
 
+# point row table / sorted-row widths (u32 columns)
+ROW_W = 64          # x(16) | y(16) | -y(16) | inf(1) | pad -> 256 B rows
+DATA_W = 40         # x(16) | y_eff(16) | inf(1) | pad (post sign-fold)
+INF_COL = 48
+
+
+def build_row_table(x, y, inf):
+    """[n8, 64] u32 point row table: x | y | -y | inf flag (256 B rows).
+
+    The scattered phase-a gather is row-latency-bound (~32 ns per 256 B
+    row vs ~57 ns per 128 B row, measured), so one padded wide row beats
+    two narrow per-coordinate gathers, and carrying -y turns the
+    per-window sign fold into a column select instead of a field
+    negation.  Rows are padded to a multiple of 8 so the aligned block
+    gather (phase b) can view the table as [n8/8, 8*W] blocks."""
+    n = x.shape[1]
+    n8 = _round_up(n, 8)
+    ny = mont.neg(FQ, y)
+    tbl = jnp.concatenate([
+        jnp.transpose(x), jnp.transpose(y), jnp.transpose(ny),
+        inf.astype(jnp.uint32)[:, None],
+        jnp.zeros((n, ROW_W - INF_COL - 1), dtype=jnp.uint32),
+    ], axis=1)
+    if n8 > n:
+        pad = jnp.zeros((n8 - n, ROW_W), dtype=jnp.uint32)
+        pad = pad.at[:, INF_COL].set(1)
+        tbl = jnp.concatenate([tbl, pad], axis=0)
+    return tbl
+
+
+def sort_payload(digits, n):
+    """uint32 sort payload: point index | digit sign << 31."""
+    iota = jax.lax.broadcasted_iota(jnp.uint32, digits.shape[-1:], 0)
+    sign = (digits < 0).astype(jnp.uint32) << 31
+    return jnp.broadcast_to(iota, digits.shape) | sign
 
 
 def signed_digits_np(scalars, c: int, num_windows: int) -> np.ndarray:
@@ -98,45 +148,68 @@ def _lane_layout(keys_sorted, *, n, lanes, repl):
     return starts, ends - starts
 
 
-def _gather_padded(x, y, digits, perm, starts, counts, *, n, r_max, lanes):
-    """Padded gather: column l = lane l's run of sorted point indices.
+def _phase_a(tbl, vals_sorted):
+    """Scattered row gather into sorted order + sign fold.
 
-    Returns (xpad, ypad [16, r_max, lanes] with y sign-folded, inf_u32
-    [r_max, lanes], overflow flag).  Counts are clamped to r_max so an
-    overflowing layout still produces a well-formed (discarded) kernel
-    input."""
-    overflow = jnp.max(counts) > r_max
-    counts = jnp.minimum(counts, r_max)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (r_max, lanes), 0)
-    gpos = starts[None, :] + rows
-    valid = rows < counts[None, :]
-    gpos = jnp.where(valid, jnp.minimum(gpos, n - 1), 0)
-    gidx = jnp.take(perm, gpos.reshape(-1))          # original point indices
-    xpad = jnp.take(x, gidx, axis=1).reshape(NLIMBS, r_max, lanes)
-    ypad = jnp.take(y, gidx, axis=1)                 # [16, r_max*lanes]
-    dneg = jnp.take(digits < 0, gidx)
-    ypad = jnp.where(dneg[None] & valid.reshape(-1)[None],
-                     mont.neg(FQ, ypad), ypad).reshape(NLIMBS, r_max, lanes)
-    return xpad, ypad, (~valid).astype(jnp.uint32), overflow
+    tbl: [n8, 64]; vals_sorted: [n] uint32 (index | sign << 31).
+    Returns [n8, DATA_W]: x | y_eff | inf, where y_eff is y or -y per the
+    digit sign (a column select on the gathered row — no field math)."""
+    n = vals_sorted.shape[0]
+    n8 = tbl.shape[0]
+    idx = (vals_sorted & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    g = jnp.take(tbl, idx, axis=0)                       # [n, 64]
+    sign = (vals_sorted >> 31)[:, None] != 0
+    y_eff = jnp.where(sign, g[:, 2 * NLIMBS:3 * NLIMBS],
+                      g[:, NLIMBS:2 * NLIMBS])
+    out = jnp.concatenate([
+        g[:, :NLIMBS], y_eff, g[:, INF_COL:INF_COL + 1],
+        jnp.zeros((n, DATA_W - 2 * NLIMBS - 1), dtype=jnp.uint32),
+    ], axis=1)
+    if n8 > n:
+        pad = jnp.zeros((n8 - n, DATA_W), dtype=jnp.uint32)
+        pad = pad.at[:, 2 * NLIMBS].set(1)               # infinity
+        out = jnp.concatenate([out, pad], axis=0)
+    return out
 
 
-def _sweep_jnp(xpad, ypad, inf_u32):
+def _phase_b(sorted_rows, bstart, r_max_eff, lanes):
+    """Aligned block gather: [DATA_W, r_max_eff, lanes] padded columns.
+
+    sorted_rows: [n8, DATA_W]; bstart: [lanes] int32 = starts // 8.  Lane
+    l's column holds sorted positions bstart[l]*8 .. +r_max_eff; block ids
+    past the array end are clamped (those rows are invalid by count)."""
+    nb = sorted_rows.shape[0] // 8
+    rb = r_max_eff // 8
+    blk_src = sorted_rows.reshape(nb, 8 * DATA_W)
+    ids = jnp.minimum(bstart[None, :]
+                      + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0),
+                      nb - 1)
+    blk = jnp.take(blk_src, ids.reshape(-1), axis=0)
+    blk = blk.reshape(rb, lanes, 8, DATA_W)
+    return jnp.transpose(blk, (3, 0, 2, 1)).reshape(DATA_W, r_max_eff, lanes)
+
+
+def _sweep_jnp(data, meta):
     """jnp bucket accumulation (CPU fallback for msm_pallas.sweep):
     fori_loop of batched unchecked mixed-adds; the loop-carried accumulator
-    is the bucket table."""
-    _, r_max, lanes = xpad.shape
+    is the bucket table.  data: [DATA_W, r_max_eff, lanes]; meta: [2,
+    lanes] int32 (start mod 8, count)."""
+    _, r_max_eff, lanes = data.shape
+    smod = meta[0]
+    cnts = meta[1]
 
     def body(r, carry):
         acc, bad = carry
-        xr = jax.lax.dynamic_index_in_dim(xpad, r, axis=1, keepdims=False)
-        yr = jax.lax.dynamic_index_in_dim(ypad, r, axis=1, keepdims=False)
-        q_inf = jax.lax.dynamic_index_in_dim(inf_u32, r, axis=0,
-                                             keepdims=False) != 0
+        row = jax.lax.dynamic_index_in_dim(data, r, axis=1, keepdims=False)
+        xr = row[:NLIMBS]
+        yr = row[NLIMBS:2 * NLIMBS]
+        valid = (r >= smod) & (r < smod + cnts)
+        q_inf = ~valid | (row[2 * NLIMBS] != 0)
         acc, b = ec.add_mixed_unchecked(acc, (xr, yr, q_inf))
         return acc, bad | (b & ~q_inf)[None].astype(jnp.uint32)
 
     bad0 = jnp.zeros((1, lanes), dtype=jnp.uint32)
-    (bx, by, bz), bad = jax.lax.fori_loop(0, r_max, body,
+    (bx, by, bz), bad = jax.lax.fori_loop(0, r_max_eff, body,
                                           (ec.infinity(lanes), bad0))
     return bx, by, bz, bad
 
@@ -151,23 +224,28 @@ def _fold_jnp(pts, badvec, mask_u32, shift):
     return res, badvec | b[None].astype(jnp.uint32)
 
 
-def _window_from_sorted(x, y, digits, keys_sorted, perm, *, n, lanes, r_max,
+def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
                         repl, num_buckets, use_pallas, interpret=False):
-    """One Pippenger window from presorted keys: padded gather -> sweep ->
-    sub-lane fold -> weighted bucket reduction.  Returns (Jacobian total
-    [16, 1] x3, overflow, bad)."""
+    """One Pippenger window from presorted (key, index|sign) pairs:
+    two-phase gather -> sweep -> sub-lane fold -> weighted bucket
+    reduction.  Returns (Jacobian total [16, 1] x3, overflow, bad)."""
     from . import msm_pallas
 
     starts, counts = _lane_layout(keys_sorted, n=n, lanes=lanes, repl=repl)
-    xpad, ypad, inf_u32, overflow = _gather_padded(
-        x, y, digits, perm, starts, counts, n=n, r_max=r_max, lanes=lanes)
+    bstart = starts // 8
+    smod = starts % 8
+    r_max_eff = r_max + 8          # alignment slop: runs start mid-block
+    overflow = jnp.max(smod + counts) > r_max_eff
+    counts = jnp.minimum(counts, r_max_eff - smod)
+    sorted_rows = _phase_a(tbl, vals_sorted)
+    data = _phase_b(sorted_rows, bstart, r_max_eff, lanes)
+    meta = jnp.stack([smod, counts])
 
     if use_pallas:
-        bx, by, bz, badvec = msm_pallas.sweep(xpad, ypad, inf_u32,
-                                              interpret=interpret)
+        bx, by, bz, badvec = msm_pallas.sweep(data, meta, interpret=interpret)
         fold = partial(msm_pallas.fold_round, interpret=interpret)
     else:
-        bx, by, bz, badvec = _sweep_jnp(xpad, ypad, inf_u32)
+        bx, by, bz, badvec = _sweep_jnp(data, meta)
         fold = _fold_jnp
 
     cols = jnp.arange(lanes, dtype=jnp.int32)[None, :]     # [1, lanes]
@@ -209,11 +287,13 @@ def _window_from_sorted(x, y, digits, keys_sorted, perm, *, n, lanes, r_max,
 
 def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets):
     """One window from raw digits (sorts internally) — jnp sweep path.
-    Kept for direct kernel tests; the fused MSM uses the batched sort."""
+    Kept for direct kernel tests and the sharded per-device MSM; the fused
+    MSM uses the batched sort + a prebuilt row table."""
+    tbl = build_row_table(x, y, inf)
     keys = jnp.where(inf, 0, jnp.abs(digits))
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    keys_sorted, perm = jax.lax.sort_key_val(keys, iota)
-    return _window_from_sorted(x, y, digits, keys_sorted, perm, n=n,
+    keys_sorted, vals_sorted = jax.lax.sort_key_val(
+        keys, sort_payload(digits, n))
+    return _window_from_sorted(tbl, keys_sorted, vals_sorted, n=n,
                                lanes=lanes, r_max=r_max, repl=repl,
                                num_buckets=num_buckets, use_pallas=False)
 
@@ -221,10 +301,11 @@ def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets):
 def _window_pallas(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets,
                    interpret=False):
     """One window from raw digits (sorts internally) — pallas sweep path."""
+    tbl = build_row_table(x, y, inf)
     keys = jnp.where(inf, 0, jnp.abs(digits))
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    keys_sorted, perm = jax.lax.sort_key_val(keys, iota)
-    return _window_from_sorted(x, y, digits, keys_sorted, perm, n=n,
+    keys_sorted, vals_sorted = jax.lax.sort_key_val(
+        keys, sort_payload(digits, n))
+    return _window_from_sorted(tbl, keys_sorted, vals_sorted, n=n,
                                lanes=lanes, r_max=r_max, repl=repl,
                                num_buckets=num_buckets, use_pallas=True,
                                interpret=interpret)
@@ -274,7 +355,7 @@ def _combine_body(wx, wy, wz, W: int, c: int):
     return jax.lax.fori_loop(0, W - 1, body, (wx[W - 1], wy[W - 1], wz[W - 1]))
 
 
-def _msm_from_digits(x, y, inf, digits, *, n, lanes, c, W, uni, top,
+def _msm_from_digits(tbl, inf, digits, *, n, lanes, c, W, uni, top,
                      use_pallas=False):
     """Full MSM from a [W, n] digit matrix: one batched sort, all windows,
     device combine.  Returns (result, overflow, bad) — overflow means a
@@ -285,11 +366,10 @@ def _msm_from_digits(x, y, inf, digits, *, n, lanes, c, W, uni, top,
     uniform windows: each window already saturates the VPU (lanes x 16 limbs
     wide), the batched lowering of the padded gather miscompiles on TPU
     (observed: identical batch rows producing different results), and the
-    scanned form keeps only one window's padded gather live in HBM."""
+    scanned form keeps only one window's gathered data live in HBM."""
     keys = jnp.where(inf[None], 0, jnp.abs(digits))            # [W, n]
-    iota = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (W, n))
-    keys_sorted, perm = jax.lax.sort_key_val(keys, iota, dimension=1)
+    keys_sorted, vals_sorted = jax.lax.sort_key_val(
+        keys, sort_payload(digits, n), dimension=1)
 
     uni_fn = partial(_window_from_sorted, n=n, lanes=lanes, r_max=uni["r_max"],
                      repl=1, num_buckets=uni["num_buckets"],
@@ -298,10 +378,10 @@ def _msm_from_digits(x, y, inf, digits, *, n, lanes, c, W, uni, top,
                      repl=top["repl"], num_buckets=top["num_buckets"],
                      use_pallas=use_pallas)
     tx, ty, tz, ovf, bad = jax.lax.map(
-        lambda a: uni_fn(x, y, *a),
-        (digits[:W - 1], keys_sorted[:W - 1], perm[:W - 1]))
-    hx, hy, hz, hovf, hbad = top_fn(x, y, digits[W - 1], keys_sorted[W - 1],
-                                    perm[W - 1])
+        lambda a: uni_fn(tbl, *a),
+        (keys_sorted[:W - 1], vals_sorted[:W - 1]))
+    hx, hy, hz, hovf, hbad = top_fn(tbl, keys_sorted[W - 1],
+                                    vals_sorted[W - 1])
     wx = jnp.concatenate([tx, hx[None]], axis=0)
     wy = jnp.concatenate([ty, hy[None]], axis=0)
     wz = jnp.concatenate([tz, hz[None]], axis=0)
@@ -327,12 +407,12 @@ def _msm_vec_jit(n, n_in, lanes, c, W, uni_key, top_key, use_pallas):
     digit decomposition, all windows, and the window combine fused into a
     single compiled program (per-op dispatch through the remote-TPU tunnel
     costs ~10ms; the eager variant spent seconds on it per MSM)."""
-    def run(x, y, inf, v_mont):
+    def run(tbl, inf, v_mont):
         raw = mont.from_mont(mont.FR, v_mont)
         if n_in < n:
             raw = jnp.pad(raw, ((0, 0), (0, n - n_in)))
         digits = _digits_body(raw, c, W)
-        return _msm_from_digits(x, y, inf, digits, n=n, lanes=lanes, c=c,
+        return _msm_from_digits(tbl, inf, digits, n=n, lanes=lanes, c=c,
                                 W=W, uni=dict(uni_key), top=dict(top_key),
                                 use_pallas=use_pallas)
     return jax.jit(run)
@@ -366,7 +446,8 @@ class MSMContext:
         self.c = c
         # 255 bits: top window must absorb the signed-digit carry
         self.num_windows = -(-255 // c)
-        self.x, self.y, self.inf = x, y, inf
+        self.tbl = jax.jit(build_row_table)(x, y, inf)
+        self.inf = inf
         half = 1 << (c - 1)
         nk_uniform = half + 1                       # bucket keys 0..2^(c-1)
         if lanes is None:
@@ -425,7 +506,7 @@ class MSMContext:
         def run(uni_key, top_key):
             fn = _msm_digits_jit(self.n, self.lanes, self.c, self.num_windows,
                                  uni_key, top_key, self._use_pallas)
-            return fn(self.x, self.y, self.inf, digits)
+            return fn(self.tbl, self.inf, digits)
 
         return self._finish(run, lambda: scalars)
 
@@ -436,7 +517,7 @@ class MSMContext:
             fn = _msm_vec_jit(self.n, v_mont.shape[1], self.lanes, self.c,
                               self.num_windows, uni_key, top_key,
                               self._use_pallas)
-            return fn(self.x, self.y, self.inf, v_mont)
+            return fn(self.tbl, self.inf, v_mont)
 
         def fallback_scalars():
             return mont.FR.from_mont_np(np.asarray(v_mont)) + \

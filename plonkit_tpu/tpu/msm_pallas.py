@@ -11,10 +11,12 @@ Two kernels:
 
   * `sweep` -- grid (lane_blocks, row_blocks), rows innermost: the
     loop-carried Jacobian accumulator (= the bucket table) lives in VMEM
-    scratch per lane block; the per-point negation is folded into ypad by
-    the caller (XLA elementwise).  The lane axis is blocked because Mosaic
-    stack-allocates the unrolled mixed-add temporaries (full-width blocks
-    measured 34.6 MiB > the 16 MiB VMEM budget).
+    scratch per lane block; slot validity is computed in-kernel from two
+    per-lane scalars (start mod 8, count — see msm.py phase b), and the
+    digit sign was folded during the phase-a row gather.  The lane axis is
+    blocked because Mosaic stack-allocates the unrolled mixed-add
+    temporaries (full-width blocks measured 34.6 MiB > the 16 MiB VMEM
+    budget).
   * `padd` -- elementwise unchecked Jacobian add of two point vectors,
     lane-tiled.  The bucket-reduction rolls/masks happen in XLA (pure data
     movement), so ONE kernel variant serves the sub-lane fold and both
@@ -53,7 +55,7 @@ def _lane_block(lanes: int, cap: int = 512) -> int:
     return best or lanes
 
 
-def _sweep_body(r_steps, xp_ref, yp_ref, inf_ref, ox_ref, oy_ref,
+def _sweep_body(r_steps, data_ref, meta_ref, ox_ref, oy_ref,
                 oz_ref, bad_ref, accx, accy, accz, badacc):
     rb = pl.program_id(1)
 
@@ -64,12 +66,19 @@ def _sweep_body(r_steps, xp_ref, yp_ref, inf_ref, ox_ref, oy_ref,
         accz[...] = jnp.zeros_like(accz)   # z == 0 encodes infinity
         badacc[...] = jnp.zeros_like(badacc)
 
+    smod = meta_ref[0, :]                  # [lb] start mod 8
+    cnts = meta_ref[1, :]                  # [lb] run length
     acc = (accx[...], accy[...], accz[...])
     bad = badacc[...]
     for j in range(R_BLK):
-        x2 = xp_ref[:, j, :]
-        y2 = yp_ref[:, j, :]
-        q_inf = inf_ref[j, :] != 0
+        r = rb * R_BLK + j
+        x2 = data_ref[0:NLIMBS, j, :]
+        y2 = data_ref[NLIMBS:2 * NLIMBS, j, :]
+        p_inf = data_ref[2 * NLIMBS, j, :] != 0
+        # validity from arithmetic: lane l's run occupies rows
+        # smod[l] .. smod[l] + cnts[l] of its (8-aligned) slot column
+        valid = (r >= smod) & (r < smod + cnts)
+        q_inf = ~valid | p_inf
         acc, b = ec.add_mixed_unchecked(acc, (x2, y2, q_inf))
         bad = bad | (b & ~q_inf)[None].astype(jnp.uint32)
     accx[...], accy[...], accz[...] = acc
@@ -83,15 +92,15 @@ def _sweep_body(r_steps, xp_ref, yp_ref, inf_ref, ox_ref, oy_ref,
         bad_ref[...] = badacc[...]
 
 
-def sweep(xp, yp, inf_u32, *, interpret=False):
-    """xp, yp: [16, r_max, lanes] gathered affine coords (y already
-    sign-folded); inf_u32: [r_max, lanes] nonzero = padding/infinity.
+def sweep(data, meta, *, interpret=False):
+    """data: [DATA_W, r_max_eff, lanes] gathered rows (x | y_eff | inf, see
+    msm._phase_b); meta: [2, lanes] int32 (start mod 8, count).
     Returns bucket table (x, y, z) each [16, lanes] + bad [1, lanes] u32."""
-    _, r_max, lanes = xp.shape
-    assert r_max % R_BLK == 0, r_max
-    r_steps = r_max // R_BLK
+    data_w, r_max_eff, lanes = data.shape
+    assert r_max_eff % R_BLK == 0, r_max_eff
+    r_steps = r_max_eff // R_BLK
     lb = _lane_block(lanes)
-    key = ("sweep", r_max, lanes, lb, interpret)
+    key = ("sweep", data_w, r_max_eff, lanes, lb, interpret)
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
         coord = jax.ShapeDtypeStruct((NLIMBS, lanes), jnp.uint32)
@@ -99,9 +108,8 @@ def sweep(xp, yp, inf_u32, *, interpret=False):
             partial(_sweep_body, r_steps),
             grid=(lanes // lb, r_steps),
             in_specs=[
-                pl.BlockSpec((NLIMBS, R_BLK, lb), lambda l, r: (0, r, l)),
-                pl.BlockSpec((NLIMBS, R_BLK, lb), lambda l, r: (0, r, l)),
-                pl.BlockSpec((R_BLK, lb), lambda l, r: (r, l)),
+                pl.BlockSpec((data_w, R_BLK, lb), lambda l, r: (0, r, l)),
+                pl.BlockSpec((2, lb), lambda l, r: (0, l)),
             ],
             out_specs=[
                 pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
@@ -120,7 +128,7 @@ def sweep(xp, yp, inf_u32, *, interpret=False):
             interpret=interpret,
         ))
         _KERNEL_CACHE[key] = fn
-    return fn(xp, yp, inf_u32)
+    return fn(data, meta)
 
 
 def _padd_body(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref, bad_ref,

@@ -3,9 +3,11 @@
 
 Times, each jitted separately on the real TPU:
   - digit decomposition (from Montgomery limbs)
-  - batched all-window sort
-  - one uniform window: gather only
-  - one uniform window: full (gather + sweep + reduction)
+  - batched all-window sort (keys + index|sign payload)
+  - one uniform window: phase-a scattered row gather (+ sign fold)
+  - one uniform window: phase-b aligned block gather + transpose
+  - pallas sweep kernel alone
+  - one full uniform window (gathers + sweep + reduction)
   - full fused msm_vec (the headline path)
 """
 
@@ -53,6 +55,7 @@ v_mont.block_until_ready()
 
 W = ctx.num_windows
 c = ctx.c
+tbl = ctx.tbl
 
 
 def _block(r):
@@ -83,38 +86,45 @@ def digits_fn(v):
 
 digits = timeit("digits", digits_fn, v_mont)
 
-# 2. batched sort
+# 2. batched sort (keys + payload)
 @jax.jit
 def sort_fn(digits, inf):
     keys = jnp.where(inf[None], 0, jnp.abs(digits))
-    iota = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (W, n))
-    return jax.lax.sort_key_val(keys, iota, dimension=1)
+    return jax.lax.sort_key_val(keys, M.sort_payload(digits, n), dimension=1)
 
-keys_sorted, perm = timeit("batched sort [W,n]", sort_fn, digits, inf)
+keys_sorted, vals_sorted = timeit("batched sort [W,n]", sort_fn, digits, inf)
 
-# 3. one uniform window: gather only
+# 3. one uniform window: phase-a scattered gather + sign fold
 uni = ctx.uni
+r_max_eff = uni["r_max"] + 8
+
 @jax.jit
-def gather_fn(x, y, d, ks, pm):
+def pa_fn(tbl, vs):
+    return M._phase_a(tbl, vs)
+
+sorted_rows = timeit("phase-a row gather", pa_fn, tbl, vals_sorted[0])
+
+# 4. phase-b block gather + transpose
+@jax.jit
+def pb_fn(tbl_sorted, ks):
     starts, counts = M._lane_layout(ks, n=n, lanes=ctx.lanes, repl=1)
-    return M._gather_padded(x, y, d, pm, starts, counts, n=n,
-                            r_max=uni["r_max"], lanes=ctx.lanes)
+    data = M._phase_b(tbl_sorted, starts // 8, r_max_eff, ctx.lanes)
+    return data, jnp.stack([starts % 8, counts])
 
-g = timeit("window gather", gather_fn, x, y, digits[0], keys_sorted[0], perm[0])
+data, meta = timeit("phase-b block gather", pb_fn, sorted_rows, keys_sorted[0])
 
-# 4. sweep kernel only (pallas)
+# 5. sweep kernel only (pallas)
 from plonkit_tpu.tpu import msm_pallas
-xpad, ypad, inf_u32, _ = g
-sweep_fn = jax.jit(lambda a, b, cc: msm_pallas.sweep(a, b, cc))
-timeit("pallas sweep", sweep_fn, xpad, ypad, inf_u32)
+sweep_fn = jax.jit(lambda d, m: msm_pallas.sweep(d, m))
+timeit("pallas sweep", sweep_fn, data, meta)
 
-# 5. one full uniform window
+# 6. one full uniform window
 win_fn = jax.jit(partial(M._window_from_sorted, n=n, lanes=ctx.lanes,
                          r_max=uni["r_max"], repl=1,
                          num_buckets=uni["num_buckets"], use_pallas=True))
-timeit("window full", win_fn, x, y, digits[0], keys_sorted[0], perm[0])
+timeit("window full", win_fn, tbl, keys_sorted[0], vals_sorted[0])
 
-# 6. full fused msm
+# 7. full fused msm
 def full(v):
     return ctx.msm_vec(v)
 
