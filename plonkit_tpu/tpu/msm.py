@@ -65,6 +65,13 @@ ROW_W = 64          # x(16) | y(16) | -y(16) | inf(1) | pad -> 256 B rows
 DATA_W = 40         # x(16) | y_eff(16) | inf(1) | pad (post sign-fold)
 INF_COL = 48
 
+# transpose the phase-b blocks inside the sweep kernel (VMEM) instead of as
+# an XLA HBM transpose (msm_pallas.sweep_tk).  Measured SLOWER on v5e
+# (1.75s vs 1.65s full 2^20 MSM — Mosaic's (lb,8,40)->(40,8,lb) transpose
+# costs more than XLA's); kept switchable for other chip generations.
+import os as _os
+TRANSPOSE_IN_KERNEL = _os.environ.get("PLONKIT_TPU_MSM_TK", "0") != "0"
+
 
 def build_row_table(x, y, inf):
     """[n8, 64] u32 point row table: x | y | -y | inf flag (256 B rows).
@@ -172,8 +179,10 @@ def _phase_a(tbl, vals_sorted):
     return out
 
 
-def _phase_b(sorted_rows, bstart, r_max_eff, lanes):
-    """Aligned block gather: [DATA_W, r_max_eff, lanes] padded columns.
+def _phase_b(sorted_rows, bstart, r_max_eff, lanes, raw_blocks=False):
+    """Aligned block gather: [DATA_W, r_max_eff, lanes] padded columns
+    (or the raw [RB, lanes, 8, DATA_W] blocks when raw_blocks, for the
+    in-kernel-transpose sweep).
 
     sorted_rows: [n8, DATA_W]; bstart: [lanes] int32 = starts // 8.  Lane
     l's column holds sorted positions bstart[l]*8 .. +r_max_eff; block ids
@@ -186,6 +195,8 @@ def _phase_b(sorted_rows, bstart, r_max_eff, lanes):
                       nb - 1)
     blk = jnp.take(blk_src, ids.reshape(-1), axis=0)
     blk = blk.reshape(rb, lanes, 8, DATA_W)
+    if raw_blocks:
+        return blk
     return jnp.transpose(blk, (3, 0, 2, 1)).reshape(DATA_W, r_max_eff, lanes)
 
 
@@ -224,11 +235,11 @@ def _fold_jnp(pts, badvec, mask_u32, shift):
     return res, badvec | b[None].astype(jnp.uint32)
 
 
-def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
-                        repl, num_buckets, use_pallas, interpret=False):
-    """One Pippenger window from presorted (key, index|sign) pairs:
-    two-phase gather -> sweep -> sub-lane fold -> weighted bucket
-    reduction.  Returns (Jacobian total [16, 1] x3, overflow, bad)."""
+def _window_buckets(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
+                    repl, num_buckets, use_pallas, interpret=False):
+    """One window's bucket table from presorted (key, index|sign) pairs:
+    two-phase gather -> sweep.  Returns (bx, by, bz [16, lanes], badvec
+    [1, lanes] u32, overflow)."""
     from . import msm_pallas
 
     starts, counts = _lane_layout(keys_sorted, n=n, lanes=lanes, repl=repl)
@@ -238,19 +249,36 @@ def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
     overflow = jnp.max(smod + counts) > r_max_eff
     counts = jnp.minimum(counts, r_max_eff - smod)
     sorted_rows = _phase_a(tbl, vals_sorted)
-    data = _phase_b(sorted_rows, bstart, r_max_eff, lanes)
     meta = jnp.stack([smod, counts])
 
     if use_pallas:
-        bx, by, bz, badvec = msm_pallas.sweep(data, meta, interpret=interpret)
-        fold = partial(msm_pallas.fold_round, interpret=interpret)
+        if TRANSPOSE_IN_KERNEL:
+            blk4 = _phase_b(sorted_rows, bstart, r_max_eff, lanes,
+                            raw_blocks=True)
+            bx, by, bz, badvec = msm_pallas.sweep_tk(blk4, meta,
+                                                     interpret=interpret)
+        else:
+            data = _phase_b(sorted_rows, bstart, r_max_eff, lanes)
+            bx, by, bz, badvec = msm_pallas.sweep(data, meta,
+                                                  interpret=interpret)
     else:
+        data = _phase_b(sorted_rows, bstart, r_max_eff, lanes)
         bx, by, bz, badvec = _sweep_jnp(data, meta)
-        fold = _fold_jnp
+    return bx, by, bz, badvec, overflow
 
-    cols = jnp.arange(lanes, dtype=jnp.int32)[None, :]     # [1, lanes]
+
+def _reduce_windows(pts, badvec, *, lanes, repl, num_buckets, fold):
+    """Weighted bucket reduction sum_b b*S_b for nwin windows laid side by
+    side: pts [16, nwin*lanes] x3 (each window one contiguous lane block,
+    identical bucket layout).  Rolls cross block boundaries only into
+    masked-off columns, so the nwin reductions are independent.  Batched
+    so one set of Hillis-Steele rounds serves every window (the
+    per-window variant cost ~26 tiny kernel dispatches x W).
+
+    Returns (totals [16, nwin] x3, badvec)."""
+    total_lanes = pts[0].shape[1]
+    cols = (jnp.arange(total_lanes, dtype=jnp.int32) % lanes)[None, :]
     nbr = num_buckets * repl
-    pts = (bx, by, bz)
 
     # sub-lane tree fold (top window): lane = bucket*repl + sub
     step = repl
@@ -265,14 +293,14 @@ def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
     keep = (cols % repl == 0) & (cols >= repl) & (cols < nbr)
     pts = (pts[0], pts[1], jnp.where(keep, pts[2], 0))
 
-    # weighted reduction sum_b b*S_b: suffix scan + prefix total, both as
-    # Hillis-Steele rounds of masked roll-adds (shift in units of repl)
+    # suffix scan + prefix total, both as Hillis-Steele rounds of masked
+    # roll-adds (shift in units of repl)
     rounds = max(1, (num_buckets - 1).bit_length())
     for i in range(rounds):
         d = 1 << i
         mask = (cols < (num_buckets - d) * repl).astype(jnp.uint32)
         pts, badvec = fold(pts, badvec, mask, d * repl)
-    # pts[:, b*repl] = sum_{k>=b} S_k; shift one bucket, then total
+    # pts[:, w*lanes + b*repl] = sum_{k>=b} S_k; shift one bucket, total
     shift_mask = cols < (num_buckets - 1) * repl
     pts = tuple(jnp.where(shift_mask, jnp.roll(a, -repl, axis=1), 0) for a in pts)
     for i in range(rounds):
@@ -280,9 +308,31 @@ def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
         mask = (cols < (num_buckets - d) * repl).astype(jnp.uint32)
         pts, badvec = fold(pts, badvec, mask, d * repl)
 
-    total = tuple(a[:, :1] for a in pts)
+    totals = tuple(a[:, ::lanes] for a in pts)
+    return totals, badvec
+
+
+def _get_fold(use_pallas, interpret):
+    from . import msm_pallas
+    if use_pallas:
+        return partial(msm_pallas.fold_round, interpret=interpret)
+    return _fold_jnp
+
+
+def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
+                        repl, num_buckets, use_pallas, interpret=False):
+    """One Pippenger window from presorted (key, index|sign) pairs:
+    two-phase gather -> sweep -> sub-lane fold -> weighted bucket
+    reduction.  Returns (Jacobian total [16, 1] x3, overflow, bad)."""
+    bx, by, bz, badvec, overflow = _window_buckets(
+        tbl, keys_sorted, vals_sorted, n=n, lanes=lanes, r_max=r_max,
+        repl=repl, num_buckets=num_buckets, use_pallas=use_pallas,
+        interpret=interpret)
+    totals, badvec = _reduce_windows(
+        (bx, by, bz), badvec, lanes=lanes, repl=repl,
+        num_buckets=num_buckets, fold=_get_fold(use_pallas, interpret))
     bad = jnp.any(badvec != 0)
-    return total + (overflow, bad)
+    return totals + (overflow, bad)
 
 
 def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets):
@@ -371,15 +421,27 @@ def _msm_from_digits(tbl, inf, digits, *, n, lanes, c, W, uni, top,
     keys_sorted, vals_sorted = jax.lax.sort_key_val(
         keys, sort_payload(digits, n), dimension=1)
 
-    uni_fn = partial(_window_from_sorted, n=n, lanes=lanes, r_max=uni["r_max"],
+    uni_fn = partial(_window_buckets, n=n, lanes=lanes, r_max=uni["r_max"],
                      repl=1, num_buckets=uni["num_buckets"],
                      use_pallas=use_pallas)
     top_fn = partial(_window_from_sorted, n=n, lanes=lanes, r_max=top["r_max"],
                      repl=top["repl"], num_buckets=top["num_buckets"],
                      use_pallas=use_pallas)
-    tx, ty, tz, ovf, bad = jax.lax.map(
+    # uniform windows: per-window bucket tables (lax.map), then ONE batched
+    # reduction over all windows side by side
+    bxs, bys, bzs, bads, ovfs = jax.lax.map(
         lambda a: uni_fn(tbl, *a),
         (keys_sorted[:W - 1], vals_sorted[:W - 1]))
+    cat = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(NLIMBS, (W - 1) * lanes)
+    totals, badcat = _reduce_windows(
+        (cat(bxs), cat(bys), cat(bzs)),
+        jnp.transpose(bads, (1, 0, 2)).reshape(1, (W - 1) * lanes),
+        lanes=lanes, repl=1, num_buckets=uni["num_buckets"],
+        fold=_get_fold(use_pallas, False))
+    ovf = ovfs
+    bad = jnp.any(badcat != 0)
+    # [16, W-1] -> [W-1, 16, 1]
+    tx, ty, tz = (jnp.transpose(a, (1, 0))[:, :, None] for a in totals)
     hx, hy, hz, hovf, hbad = top_fn(tbl, keys_sorted[W - 1],
                                     vals_sorted[W - 1])
     wx = jnp.concatenate([tx, hx[None]], axis=0)

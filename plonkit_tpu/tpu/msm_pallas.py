@@ -131,6 +131,84 @@ def sweep(data, meta, *, interpret=False):
     return fn(data, meta)
 
 
+def _sweep_body_tk(r_steps, data_ref, meta_ref, ox_ref, oy_ref,
+                   oz_ref, bad_ref, accx, accy, accz, badacc):
+    """Sweep over UNtransposed phase-b blocks [1, lb, 8, DATA_W]: the
+    point-major -> limb-major transpose happens here in VMEM (the XLA
+    transpose of the full [DATA_W, r_max, lanes] array was HBM-bound)."""
+    rb = pl.program_id(1)
+
+    @pl.when(rb == 0)
+    def _():
+        accx[...] = jnp.zeros_like(accx)
+        accy[...] = jnp.zeros_like(accy)
+        accz[...] = jnp.zeros_like(accz)
+        badacc[...] = jnp.zeros_like(badacc)
+
+    smod = meta_ref[0, :]
+    cnts = meta_ref[1, :]
+    blk = data_ref[0]                       # [lb, 8, DATA_W]
+    arr = jnp.transpose(blk, (2, 1, 0))     # [DATA_W, 8, lb]
+    acc = (accx[...], accy[...], accz[...])
+    bad = badacc[...]
+    for j in range(R_BLK):
+        r = rb * R_BLK + j
+        x2 = arr[0:NLIMBS, j, :]
+        y2 = arr[NLIMBS:2 * NLIMBS, j, :]
+        p_inf = arr[2 * NLIMBS, j, :] != 0
+        valid = (r >= smod) & (r < smod + cnts)
+        q_inf = ~valid | p_inf
+        acc, b = ec.add_mixed_unchecked(acc, (x2, y2, q_inf))
+        bad = bad | (b & ~q_inf)[None].astype(jnp.uint32)
+    accx[...], accy[...], accz[...] = acc
+    badacc[...] = bad
+
+    @pl.when(rb == r_steps - 1)
+    def _():
+        ox_ref[...] = accx[...]
+        oy_ref[...] = accy[...]
+        oz_ref[...] = accz[...]
+        bad_ref[...] = badacc[...]
+
+
+def sweep_tk(blk4, meta, *, interpret=False):
+    """Like `sweep` but takes the phase-b gather output in its native
+    [RB, lanes, 8, DATA_W] layout and transposes per-block in VMEM."""
+    rb_n, lanes, eight, data_w = blk4.shape
+    assert eight == R_BLK
+    lb = _lane_block(lanes)
+    key = ("sweep_tk", data_w, rb_n, lanes, lb, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        coord = jax.ShapeDtypeStruct((NLIMBS, lanes), jnp.uint32)
+        fn = jax.jit(pl.pallas_call(
+            partial(_sweep_body_tk, rb_n),
+            grid=(lanes // lb, rb_n),
+            in_specs=[
+                pl.BlockSpec((1, lb, R_BLK, data_w),
+                             lambda l, r: (r, l, 0, 0)),
+                pl.BlockSpec((2, lb), lambda l, r: (0, l)),
+            ],
+            out_specs=[
+                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
+                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
+                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
+                pl.BlockSpec((1, lb), lambda l, r: (0, l)),
+            ],
+            out_shape=[coord, coord, coord,
+                       jax.ShapeDtypeStruct((1, lanes), jnp.uint32)],
+            scratch_shapes=[
+                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
+                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
+                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
+                pltpu.VMEM((1, lb), jnp.uint32),
+            ],
+            interpret=interpret,
+        ))
+        _KERNEL_CACHE[key] = fn
+    return fn(blk4, meta)
+
+
 def _padd_body(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref, bad_ref,
                ox_ref, oy_ref, oz_ref, obad_ref):
     p = (px_ref[...], py_ref[...], pz_ref[...])
