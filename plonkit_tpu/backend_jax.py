@@ -18,8 +18,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fields import FR_MODULUS as R, FR_GENERATOR, fr_inv
-from .tpu import ec, mont, msm as tpu_msm, ntt as tpu_ntt, pallas_kernels as pk
+from .tpu import ec, mont, msm as tpu_msm, ntt as tpu_ntt, ntt_mxu as tpu_ntt_mxu, pallas_kernels as pk
 from .tpu.mont import FR, NLIMBS
+
+import os
+
+# NTT engine selection: the MXU matmul NTT (tpu/ntt_mxu.py) is ~5x the Pease
+# butterfly pipeline on real TPU hardware (17.9 vs 97.2 ms at 2^20, slope-
+# timed); the Pease path remains for the CPU test backend (int8 matmuls are
+# emulated there) and as a differential-testing oracle.
+_NTT_ENGINE = os.environ.get("PLONKIT_TPU_NTT", "auto")
+
+
+def _use_mxu_ntt(n: int, interpret: bool) -> bool:
+    if _NTT_ENGINE == "mxu":
+        return True
+    if _NTT_ENGINE == "pease":
+        return False
+    return (not interpret and n >= 512
+            and jax.default_backend() != "cpu")
 
 
 class FrVec:
@@ -173,18 +190,28 @@ class JaxBackend:
     # -- NTT ---------------------------------------------------------------
 
     def ntt(self, v: FrVec) -> FrVec:
+        if _use_mxu_ntt(len(v), self.interpret):
+            return FrVec(tpu_ntt_mxu.ntt_mxu(v.data, interpret=self.interpret))
         return FrVec(tpu_ntt.ntt(v.data, interpret=self.interpret))
 
     def intt(self, v: FrVec) -> FrVec:
+        if _use_mxu_ntt(len(v), self.interpret):
+            return FrVec(tpu_ntt_mxu.intt_mxu(v.data, interpret=self.interpret))
         return FrVec(tpu_ntt.intt(v.data, interpret=self.interpret))
 
     def coset_ntt(self, v: FrVec, shift: int = FR_GENERATOR) -> FrVec:
+        if _use_mxu_ntt(len(v), self.interpret):
+            return FrVec(tpu_ntt_mxu.coset_ntt_mxu(v.data, shift, interpret=self.interpret))
         return FrVec(tpu_ntt.coset_ntt(v.data, shift, interpret=self.interpret))
 
     def coset_intt(self, v: FrVec, shift: int = FR_GENERATOR) -> FrVec:
+        if _use_mxu_ntt(len(v), self.interpret):
+            return FrVec(tpu_ntt_mxu.coset_intt_mxu(v.data, shift, interpret=self.interpret))
         return FrVec(tpu_ntt.coset_intt(v.data, shift, interpret=self.interpret))
 
     def coset_lde(self, v: FrVec, factor: int, shift: int = FR_GENERATOR) -> FrVec:
+        if _use_mxu_ntt(len(v) * factor, self.interpret):
+            return FrVec(tpu_ntt_mxu.coset_lde_mxu(v.data, factor, shift, interpret=self.interpret))
         return FrVec(tpu_ntt.coset_lde(v.data, factor, shift, interpret=self.interpret))
 
     # -- MSM ---------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""MXU (matmul) NTT vs the host oracle and the Pease pipeline.
+
+Mirrors the reference's FFT correctness surface (bellman_ce fft, SURVEY
+D1d) the same way tests/test_tpu_field.py pins mont.py: small domains,
+random canonical inputs, exact equality."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plonkit_tpu.fields import FR_MODULUS, fr_inv, get_domain_omega
+from plonkit_tpu.tpu import ntt as ntt_mod
+from plonkit_tpu.tpu import ntt_mxu
+from plonkit_tpu.tpu.mont import FR
+
+
+def _host_ntt(vals, inverse=False):
+    n = len(vals)
+    omega = get_domain_omega(n)
+    if inverse:
+        omega = fr_inv(omega)
+    out = []
+    for j in range(n):
+        acc = 0
+        w = pow(omega, j, FR_MODULUS)
+        cur = 1
+        for i in range(n):
+            acc = (acc + vals[i] * cur) % FR_MODULUS
+            cur = cur * w % FR_MODULUS
+        out.append(acc)
+    if inverse:
+        ninv = fr_inv(n)
+        out = [v * ninv % FR_MODULUS for v in out]
+    return out
+
+
+@pytest.mark.parametrize("n", [16, 64, 256, 1024])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_mxu_ntt_matches_host(n, inverse):
+    rng = random.Random(42 + n)
+    vals = [rng.randrange(FR_MODULUS) for _ in range(n)]
+    x = jnp.asarray(FR.to_mont_np(vals))
+    got = FR.from_mont_np(np.asarray(ntt_mxu.ntt_mxu(x, inverse=inverse)))
+    if n <= 256:
+        assert got == _host_ntt(vals, inverse)
+    # cross-check against the Pease pipeline at every size
+    ref = FR.from_mont_np(np.asarray(ntt_mod.ntt(x, inverse=inverse)))
+    assert got == ref
+
+
+def test_mxu_roundtrip_and_radix_plan():
+    assert ntt_mxu.plan_radices(1 << 20) == (128, 128, 64)
+    assert ntt_mxu.plan_radices(1 << 10) == (32, 32)
+    assert ntt_mxu.plan_radices(1 << 24) == (256, 256, 256)
+    rng = random.Random(7)
+    n = 512
+    vals = [rng.randrange(FR_MODULUS) for _ in range(n)]
+    x = jnp.asarray(FR.to_mont_np(vals))
+    back = FR.from_mont_np(np.asarray(
+        ntt_mxu.intt_mxu(ntt_mxu.ntt_mxu(x))))
+    assert back == vals
+
+
+def test_mxu_coset_lde_matches_pease():
+    rng = random.Random(9)
+    n = 256
+    vals = [rng.randrange(FR_MODULUS) for _ in range(n)]
+    x = jnp.asarray(FR.to_mont_np(vals))
+    got = FR.from_mont_np(np.asarray(ntt_mxu.coset_lde_mxu(x, 4)))
+    ref = FR.from_mont_np(np.asarray(ntt_mod.coset_lde(x, 4)))
+    assert got == ref
