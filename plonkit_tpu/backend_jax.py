@@ -228,9 +228,7 @@ class JaxBackend:
             from .backend import _HostMSMContext
             ctx = _HostMSMContext(bases)
         else:
-            c = 13
-            lanes = max(128, min(8192, n // 8))
-            ctx = tpu_msm.MSMContext(bases, c=c, lanes=lanes)
+            ctx = tpu_msm.MSMContext(bases, c=13)
         if key is not None:
             self._msm_cache[key] = ctx
         return ctx

@@ -47,9 +47,9 @@ def _dist_windows_fn(n: int, n_devices: int, c: int, mesh_id: int):
     n_local = n // n_devices
     num_windows = -(-255 // c)
     half = 1 << (c - 1)
-    nk_uniform = half + 1
-    lanes = max(_round_up(nk_uniform, 128), nk_uniform)
-    r_uni = _rmax_for(-(-n_local // max(1, nk_uniform - 1)))
+    # one lane per 1-based bucket key (see tpu.msm._lane_layout)
+    lanes = max(half, 128)
+    r_uni = _rmax_for(-(-n_local // half))
     # top-window occupancy is bounded by the modulus' top bits, not the
     # window range (see tpu.msm.MSMContext._init_params)
     max_key = min(half, (FR_MODULUS >> ((num_windows - 1) * c)) + 1)
@@ -61,10 +61,8 @@ def _dist_windows_fn(n: int, n_devices: int, c: int, mesh_id: int):
 
     # VMEM-resident pallas sweep on TPU meshes; jnp path on the CPU test mesh
     kern = _window_kernel if pk._use_jnp_fallback() else _window_pallas
-    uni = partial(kern, n=n_local, lanes=lanes, r_max=r_uni,
-                  repl=1, num_buckets=nk_uniform)
-    top = partial(kern, n=n_local, lanes=lanes, r_max=r_top,
-                  repl=repl, num_buckets=key_hi)
+    uni = partial(kern, n=n_local, lanes=lanes, r_max=r_uni, repl=1)
+    top = partial(kern, n=n_local, lanes=lanes, r_max=r_top, repl=repl)
 
     def body(x, y, inf, digits):
         # x, y: [16, n/D]; inf: [n/D]; digits: [W, n/D]

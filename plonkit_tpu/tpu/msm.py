@@ -10,32 +10,41 @@ accumulation is reformulated so that **no scatter ever happens**:
      sort payload packs the point index and the digit's sign into one
      uint32 (index | sign << 31), so no later per-slot index/sign gathers
      are needed;
-  3. per window, a TWO-PHASE gather (XLA's gather is row-latency-bound at
-     ~32 ns/row on 256 B rows regardless of width, so the scattered pass
-     must touch each point exactly once and everything else must ride
-     contiguous rows):
-       a. phase a: one scattered row gather of the [n8, 64]-u32 point row
-          table (x | y | -y | inf, 256 B rows) into sorted order, folding
-          the digit sign by selecting y vs -y (column select, no field
-          negation) -> a [n8, 40]-u32 "sorted rows" array;
+  3. per window, a TWO-PHASE gather (XLA's gather moves ~13 GB/s
+     regardless of row width — row-latency/issue-bound — so the scattered
+     pass must touch each point exactly once, with the SLIMMEST possible
+     rows, and everything else must ride contiguous rows):
+       a. phase a: one scattered row gather of the [n8, 36]-u32 point row
+          table (x | y | inf, 144 B rows) into sorted order, tagging the
+          digit sign into the flag column (bit 1) — the negation itself
+          happens inside the sweep kernel (16 cheap vector ops) instead of
+          paying 64 gathered bytes for a precomputed -y;
        b. phase b: an 8-point-ALIGNED block gather (rows of 8 consecutive
           sorted points; each lane's run [start, start+count) is covered
           by blocks floor(start/8)..., so slot r of lane l holds sorted
           position (start//8)*8 + r and validity is the pure arithmetic
           (start mod 8) <= r < (start mod 8) + count — computed in-kernel
           from two scalars per lane, no index gather);
-  4. **one bucket per vector lane**: lane b owns exactly bucket b; a
-     fori_loop of batched *unchecked* mixed-adds (11 field muls, no
-     doubling fallback — impossible for distinct SRS bases, flagged on
-     device regardless) accumulates the lane's run.  The loop-carried
-     accumulator IS the bucket table: no flush, no scatter.
-  5. the top window's digits span only 2^(255 mod c) values, so its
+  4. **one bucket per vector lane**, with lane l owning bucket key
+     (l // repl) + 1 (keys are 1-based: zero digits sort first and fall
+     outside every lane's run, so no zero-bucket clamp is needed, and
+     lanes = 2^(c-1) exactly — a power of two, which the flat-limb kernel
+     layout requires).  The sweep kernel (msm_pallas.sweep_flat) keeps
+     limb i of every coordinate in its own 8-sublane vreg slice ("flat
+     limbs", ec_flat.py) so each unchecked mixed-add (11 field muls) runs
+     at full VPU width — measured 0.46 ns/(mul*elem) vs ~5 ns for the
+     planar row-sliced layout.  The loop-carried accumulator IS the bucket
+     table: no flush, no scatter;
+  5. the top window's digits span only the modulus' top bits, so its
      buckets are *replicated* over `repl` sub-lanes (points of one bucket
-     are split round-robin across sub-lanes by within-run rank) and the
-     sub-lanes are tree-folded afterwards — this keeps the sequential
-     depth r_max uniform across windows;
-  6. weighted bucket reduction sum(b * S_b) via two Hillis-Steele passes
-     (suffix scan + prefix reduction) of batched unchecked Jacobian adds;
+     are split round-robin across sub-lanes by within-run rank), keeping
+     the sequential depth r_max uniform across windows;
+  6. weighted bucket reduction sum_k k*S_k as ONE VMEM-resident kernel per
+     window (msm_pallas.reduce_weighted): sub-lane tree fold + inclusive
+     suffix sums + tree total (sum over representatives of inclusive
+     suffix sums = sum_k k*S_k given the 1-based keys) — ~29 in-VMEM
+     rounds replacing 26 all-window HBM Hillis-Steele passes that
+     measured ~440 ms of the 2^20 MSM;
   7. windows combined on device (batched doubling + tree fold kernel).
 
 Lane padding r_max is intentionally tight — mean + 5*sqrt(mean) + 8
@@ -60,39 +69,38 @@ from ..fields import FR_MODULUS
 from . import ec, mont
 from .mont import FQ, NLIMBS
 
-# point row table / sorted-row widths (u32 columns)
-ROW_W = 64          # x(16) | y(16) | -y(16) | inf(1) | pad -> 256 B rows
-DATA_W = 40         # x(16) | y_eff(16) | inf(1) | pad (post sign-fold)
-INF_COL = 48
+# point row table: [n8, 64] u32, 256 B rows — x(16) | y(16) | 32 pad.
+# XLA's scattered row gather is erratically width-sensitive on v5e
+# (measured ns/row: 6.4 @ 64 B single-stream, 37 @ 128 B, 45 @ 144 B,
+# 14 @ 256 B, 11.5 @ 512 B; two 64 B gathers in ONE program degrade to
+# ~30 ms, interleaved 2n x 64 B to ~49 ms), so one padded 256 B-row
+# gather is the fastest realizable phase-a shape even though half the
+# bytes are padding.  The infinity flag (bit 16) and the digit sign
+# (bit 17, added in phase a) ride the free high bits of y limb 15.
+ROW_W = 64
+DATA_W = 32         # meaningful columns (x | y)
+FLAG_LIMB = 31      # column carrying the packed flags
 
-# transpose the phase-b blocks inside the sweep kernel (VMEM) instead of as
-# an XLA HBM transpose (msm_pallas.sweep_tk).  Measured SLOWER on v5e
-# (1.75s vs 1.65s full 2^20 MSM — Mosaic's (lb,8,40)->(40,8,lb) transpose
-# costs more than XLA's); kept switchable for other chip generations.
 import os as _os
-TRANSPOSE_IN_KERNEL = _os.environ.get("PLONKIT_TPU_MSM_TK", "0") != "0"
+
+# flat sweep lane-block width (lanes per kernel block)
+LB = int(_os.environ.get("PLONKIT_TPU_MSM_LB", "512"))
 
 
 def build_row_table(x, y, inf):
-    """[n8, 64] u32 point row table: x | y | -y | inf flag (256 B rows).
-
-    The scattered phase-a gather is row-latency-bound (~32 ns per 256 B
-    row vs ~57 ns per 128 B row, measured), so one padded wide row beats
-    two narrow per-coordinate gathers, and carrying -y turns the
-    per-window sign fold into a column select instead of a field
-    negation.  Rows are padded to a multiple of 8 so the aligned block
-    gather (phase b) can view the table as [n8/8, 8*W] blocks."""
+    """[n8, 64] u32 point row table (x | y | pad); infinity flag packed
+    into y limb 15's bit 16.  Rows are padded to a multiple of 8 so the
+    aligned block gather (phase b) can view the table as 8-point blocks."""
     n = x.shape[1]
     n8 = _round_up(n, 8)
-    ny = mont.neg(FQ, y)
+    ytop = y[NLIMBS - 1] | (inf.astype(jnp.uint32) << 16)
     tbl = jnp.concatenate([
-        jnp.transpose(x), jnp.transpose(y), jnp.transpose(ny),
-        inf.astype(jnp.uint32)[:, None],
-        jnp.zeros((n, ROW_W - INF_COL - 1), dtype=jnp.uint32),
+        jnp.transpose(x), jnp.transpose(y[:NLIMBS - 1]), ytop[:, None],
+        jnp.zeros((n, ROW_W - DATA_W), dtype=jnp.uint32),
     ], axis=1)
     if n8 > n:
         pad = jnp.zeros((n8 - n, ROW_W), dtype=jnp.uint32)
-        pad = pad.at[:, INF_COL].set(1)
+        pad = pad.at[:, FLAG_LIMB].set(1 << 16)
         tbl = jnp.concatenate([tbl, pad], axis=0)
     return tbl
 
@@ -134,59 +142,63 @@ def signed_digits_np(scalars, c: int, num_windows: int) -> np.ndarray:
 def _lane_layout(keys_sorted, *, n, lanes, repl):
     """Per-lane run boundaries from one window's sorted bucket keys.
 
-    Lane l accumulates sub-bucket l; bucket key of lane l is l // repl.
-    Zero-key points (zero digits / infinity) contribute nothing and are
-    excluded via the zero_end clamp.  Returns (starts, counts) [lanes]."""
+    Lane l accumulates sub-bucket l + repl, i.e. bucket key l//repl + 1
+    (1-based keys: zero-key points — zero digits / infinity — sort before
+    every lane's range and are excluded with no clamp).  Returns
+    (starts, counts) [lanes]."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     if repl > 1:
-        # split each bucket's run over `repl` sub-lanes by within-run rank
-        first = jnp.searchsorted(keys_sorted, keys_sorted, side="left").astype(jnp.int32)
-        last = jnp.searchsorted(keys_sorted, keys_sorted, side="right").astype(jnp.int32)
+        # split each bucket's run over `repl` sub-lanes by within-run rank.
+        # Run boundaries come from prefix/suffix scans over the sorted keys
+        # (searchsorted(keys, keys) lowered to ~20 serial 1M-row gather
+        # passes — measured ~350 ms for the top window alone).
+        starts_mask = jnp.concatenate(
+            [jnp.ones((1,), bool), keys_sorted[1:] != keys_sorted[:-1]])
+        ends_mask = jnp.concatenate(
+            [keys_sorted[1:] != keys_sorted[:-1], jnp.ones((1,), bool)])
+        first = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(starts_mask, iota, 0))
+        last = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(ends_mask, iota + 1, n), reverse=True)
         per = (last - first + repl - 1) // repl
         sub = (iota - first) // jnp.maximum(per, 1)
-        subkeys = keys_sorted * repl + sub          # still sorted ascending
+        subkeys = keys_sorted.astype(jnp.int32) * repl + sub
     else:
         subkeys = keys_sorted
-    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+    lane_ids = jnp.arange(lanes, dtype=jnp.int32) + repl
     starts = jnp.searchsorted(subkeys, lane_ids, side="left").astype(jnp.int32)
-    zero_end = jnp.searchsorted(keys_sorted, 1, side="left").astype(jnp.int32)
-    starts = jnp.maximum(starts, zero_end)
     ends = jnp.concatenate([starts[1:], jnp.asarray([n], dtype=jnp.int32)])
     return starts, ends - starts
 
 
 def _phase_a(tbl, vals_sorted):
-    """Scattered row gather into sorted order + sign fold.
+    """Scattered row gather into sorted order + sign tag.
 
-    tbl: [n8, 64]; vals_sorted: [n] uint32 (index | sign << 31).
-    Returns [n8, DATA_W]: x | y_eff | inf, where y_eff is y or -y per the
-    digit sign (a column select on the gathered row — no field math)."""
+    tbl: [n8, 64]; vals_sorted: [n] uint32 (index | sign << 31).  Returns
+    [n8, 32] (x | y, padding dropped) with the digit sign at y-limb-15
+    bit 17 (negation happens inside the sweep kernel)."""
     n = vals_sorted.shape[0]
     n8 = tbl.shape[0]
     idx = (vals_sorted & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     g = jnp.take(tbl, idx, axis=0)                       # [n, 64]
-    sign = (vals_sorted >> 31)[:, None] != 0
-    y_eff = jnp.where(sign, g[:, 2 * NLIMBS:3 * NLIMBS],
-                      g[:, NLIMBS:2 * NLIMBS])
-    out = jnp.concatenate([
-        g[:, :NLIMBS], y_eff, g[:, INF_COL:INF_COL + 1],
-        jnp.zeros((n, DATA_W - 2 * NLIMBS - 1), dtype=jnp.uint32),
-    ], axis=1)
+    sign = (vals_sorted >> 31).astype(jnp.uint32)
+    flagged = g[:, FLAG_LIMB] | (sign << 17)
+    out = jnp.concatenate([g[:, :FLAG_LIMB], flagged[:, None]], axis=1)
     if n8 > n:
         pad = jnp.zeros((n8 - n, DATA_W), dtype=jnp.uint32)
-        pad = pad.at[:, 2 * NLIMBS].set(1)               # infinity
+        pad = pad.at[:, FLAG_LIMB].set(1 << 16)        # infinity
         out = jnp.concatenate([out, pad], axis=0)
     return out
 
 
-def _phase_b(sorted_rows, bstart, r_max_eff, lanes, raw_blocks=False):
-    """Aligned block gather: [DATA_W, r_max_eff, lanes] padded columns
-    (or the raw [RB, lanes, 8, DATA_W] blocks when raw_blocks, for the
-    in-kernel-transpose sweep).
+def _phase_b(sorted_rows, bstart, r_max_eff, lanes):
+    """Aligned block gather -> [DATA_W, r_max_eff, lanes] padded columns
+    (planar layout, jnp sweep path): rows 0-15 x limbs, 16-31 y limbs
+    (flags packed in y limb 15).
 
-    sorted_rows: [n8, DATA_W]; bstart: [lanes] int32 = starts // 8.  Lane
-    l's column holds sorted positions bstart[l]*8 .. +r_max_eff; block ids
-    past the array end are clamped (those rows are invalid by count)."""
+    bstart: [lanes] int32 = starts // 8.  Lane l's column holds sorted
+    positions bstart[l]*8 .. +r_max_eff; block ids past the array end are
+    clamped (those rows are invalid by count)."""
     nb = sorted_rows.shape[0] // 8
     rb = r_max_eff // 8
     blk_src = sorted_rows.reshape(nb, 8 * DATA_W)
@@ -195,16 +207,41 @@ def _phase_b(sorted_rows, bstart, r_max_eff, lanes, raw_blocks=False):
                       nb - 1)
     blk = jnp.take(blk_src, ids.reshape(-1), axis=0)
     blk = blk.reshape(rb, lanes, 8, DATA_W)
-    if raw_blocks:
-        return blk
     return jnp.transpose(blk, (3, 0, 2, 1)).reshape(DATA_W, r_max_eff, lanes)
 
 
+def _phase_b_flat(sorted_rows, bstart, r_max_eff, lanes, lb):
+    """Aligned block gather for sweep_flat: [r_steps, nblk, lb, 256].
+
+    The 8-point blocks of sorted_rows are transposed ONCE at n-scale
+    ([nb, 8, 32] -> [nb, 32, 8], so a gathered block row reads limb-major:
+    transposed-row index i*8 + j); the r_max-padded gather output then
+    needs NO further relayout — a per-window 6-D transpose of the padded
+    gather measured ~27 ms/window."""
+    nb = sorted_rows.shape[0] // 8
+    rb = r_max_eff // 8
+    nblk = lanes // lb
+    sr2 = sorted_rows.reshape(nb, 8, DATA_W).transpose(0, 2, 1) \
+                     .reshape(nb, DATA_W * 8)
+    ids = jnp.minimum(bstart[None, :]
+                      + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0),
+                      nb - 1).reshape(-1)
+    blk = jnp.take(sr2, ids, axis=0)                     # [rb*lanes, 256]
+    return blk.reshape(rb, nblk, lb, DATA_W * 8)
+
+
+def _meta_flat(smod, cnts, lanes, lb):
+    """[2, lanes] int32 -> [nblk, 2, lb]."""
+    nblk = lanes // lb
+    meta = jnp.stack([smod, cnts])
+    return meta.reshape(2, nblk, lb).transpose(1, 0, 2)
+
+
 def _sweep_jnp(data, meta):
-    """jnp bucket accumulation (CPU fallback for msm_pallas.sweep):
+    """jnp bucket accumulation (CPU fallback for msm_pallas.sweep_flat):
     fori_loop of batched unchecked mixed-adds; the loop-carried accumulator
-    is the bucket table.  data: [DATA_W, r_max_eff, lanes]; meta: [2,
-    lanes] int32 (start mod 8, count)."""
+    is the bucket table.  data: [ROW_W, r_max_eff, lanes] (planar phase_b);
+    meta: [2, lanes] int32 (start mod 8, count)."""
     _, r_max_eff, lanes = data.shape
     smod = meta[0]
     cnts = meta[1]
@@ -213,9 +250,14 @@ def _sweep_jnp(data, meta):
         acc, bad = carry
         row = jax.lax.dynamic_index_in_dim(data, r, axis=1, keepdims=False)
         xr = row[:NLIMBS]
-        yr = row[NLIMBS:2 * NLIMBS]
+        ytop = row[2 * NLIMBS - 1]
+        flag = ytop >> 16
+        yr = jnp.concatenate([row[NLIMBS:2 * NLIMBS - 1],
+                              (ytop & 0xFFFF)[None]], axis=0)
         valid = (r >= smod) & (r < smod + cnts)
-        q_inf = ~valid | (row[2 * NLIMBS] != 0)
+        q_inf = ~valid | ((flag & 1) != 0)
+        sign = (flag & 2) != 0
+        yr = mont.select(sign, mont.neg(FQ, yr), yr)
         acc, b = ec.add_mixed_unchecked(acc, (xr, yr, q_inf))
         return acc, bad | (b & ~q_inf)[None].astype(jnp.uint32)
 
@@ -230,86 +272,9 @@ def _fold_jnp(pts, badvec, mask_u32, shift):
     mask = mask_u32 != 0
     qx = jnp.roll(pts[0], -shift, axis=1)
     qy = jnp.roll(pts[1], -shift, axis=1)
-    qz = jnp.where(mask, jnp.roll(pts[2], -shift, axis=1), 0)
+    qz = jnp.where(mask[None], jnp.roll(pts[2], -shift, axis=1), 0)
     res, b = ec.add_unchecked(pts, (qx, qy, qz))
     return res, badvec | b[None].astype(jnp.uint32)
-
-
-def _window_buckets(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
-                    repl, num_buckets, use_pallas, interpret=False):
-    """One window's bucket table from presorted (key, index|sign) pairs:
-    two-phase gather -> sweep.  Returns (bx, by, bz [16, lanes], badvec
-    [1, lanes] u32, overflow)."""
-    from . import msm_pallas
-
-    starts, counts = _lane_layout(keys_sorted, n=n, lanes=lanes, repl=repl)
-    bstart = starts // 8
-    smod = starts % 8
-    r_max_eff = r_max + 8          # alignment slop: runs start mid-block
-    overflow = jnp.max(smod + counts) > r_max_eff
-    counts = jnp.minimum(counts, r_max_eff - smod)
-    sorted_rows = _phase_a(tbl, vals_sorted)
-    meta = jnp.stack([smod, counts])
-
-    if use_pallas:
-        if TRANSPOSE_IN_KERNEL:
-            blk4 = _phase_b(sorted_rows, bstart, r_max_eff, lanes,
-                            raw_blocks=True)
-            bx, by, bz, badvec = msm_pallas.sweep_tk(blk4, meta,
-                                                     interpret=interpret)
-        else:
-            data = _phase_b(sorted_rows, bstart, r_max_eff, lanes)
-            bx, by, bz, badvec = msm_pallas.sweep(data, meta,
-                                                  interpret=interpret)
-    else:
-        data = _phase_b(sorted_rows, bstart, r_max_eff, lanes)
-        bx, by, bz, badvec = _sweep_jnp(data, meta)
-    return bx, by, bz, badvec, overflow
-
-
-def _reduce_windows(pts, badvec, *, lanes, repl, num_buckets, fold):
-    """Weighted bucket reduction sum_b b*S_b for nwin windows laid side by
-    side: pts [16, nwin*lanes] x3 (each window one contiguous lane block,
-    identical bucket layout).  Rolls cross block boundaries only into
-    masked-off columns, so the nwin reductions are independent.  Batched
-    so one set of Hillis-Steele rounds serves every window (the
-    per-window variant cost ~26 tiny kernel dispatches x W).
-
-    Returns (totals [16, nwin] x3, badvec)."""
-    total_lanes = pts[0].shape[1]
-    cols = (jnp.arange(total_lanes, dtype=jnp.int32) % lanes)[None, :]
-    nbr = num_buckets * repl
-
-    # sub-lane tree fold (top window): lane = bucket*repl + sub
-    step = repl
-    while step > 1:
-        h = step // 2
-        mask = ((cols % repl) < h).astype(jnp.uint32)
-        pts, badvec = fold(pts, badvec, mask, h)
-        step = h
-
-    # keep only bucket representatives (sub == 0), drop bucket 0 and the
-    # out-of-range tail; vacated columns become infinity (z = 0)
-    keep = (cols % repl == 0) & (cols >= repl) & (cols < nbr)
-    pts = (pts[0], pts[1], jnp.where(keep, pts[2], 0))
-
-    # suffix scan + prefix total, both as Hillis-Steele rounds of masked
-    # roll-adds (shift in units of repl)
-    rounds = max(1, (num_buckets - 1).bit_length())
-    for i in range(rounds):
-        d = 1 << i
-        mask = (cols < (num_buckets - d) * repl).astype(jnp.uint32)
-        pts, badvec = fold(pts, badvec, mask, d * repl)
-    # pts[:, w*lanes + b*repl] = sum_{k>=b} S_k; shift one bucket, total
-    shift_mask = cols < (num_buckets - 1) * repl
-    pts = tuple(jnp.where(shift_mask, jnp.roll(a, -repl, axis=1), 0) for a in pts)
-    for i in range(rounds):
-        d = 1 << i
-        mask = (cols < (num_buckets - d) * repl).astype(jnp.uint32)
-        pts, badvec = fold(pts, badvec, mask, d * repl)
-
-    totals = tuple(a[:, ::lanes] for a in pts)
-    return totals, badvec
 
 
 def _get_fold(use_pallas, interpret):
@@ -319,23 +284,97 @@ def _get_fold(use_pallas, interpret):
     return _fold_jnp
 
 
+def _reduce_weighted(pts, badvec, *, lanes, repl, fold):
+    """Weighted bucket reduction sum_k k*S_k for G windows laid side by
+    side: pts [16, G*lanes] x3 (each window one contiguous lane block,
+    identical layout; lane l holds sub-bucket l + repl, i.e. 1-based
+    bucket keys — msm._lane_layout's one-key shift).
+
+    Steps: sub-lane tree fold (repl > 1) -> inclusive suffix sums over the
+    repl-strided representatives -> tree total.  Sum over representatives
+    of inclusive suffix sums equals sum_j (j+1)*S_j = sum_k k*S_k, so no
+    separate one-bucket shift pass is needed.  Rolls cross window block
+    boundaries only into masked-off columns, and one set of rounds serves
+    every window.  Each round is one lane-tiled `fold` kernel dispatch
+    (an all-rounds-in-VMEM megakernel variant compiled for tens of
+    minutes and overflowed the Mosaic SSA stack).
+
+    Returns (totals [16, G] x3, badvec)."""
+    total = pts[0].shape[1]
+    cols = jnp.arange(total, dtype=jnp.int32) % lanes
+
+    step = repl
+    while step > 1:
+        h = step // 2
+        mask = ((cols % repl) < h).astype(jnp.uint32)
+        pts, badvec = fold(pts, badvec, mask, h)
+        step = h
+    if repl > 1:
+        pts = (pts[0], pts[1],
+               jnp.where((cols % repl == 0)[None], pts[2], 0))
+    nrep = lanes // repl
+    d = 1
+    while d < nrep:
+        mask = (cols < (nrep - d) * repl).astype(jnp.uint32)
+        pts, badvec = fold(pts, badvec, mask, d * repl)
+        d *= 2
+    d = nrep // 2
+    while d >= 1:
+        mask = (cols < d * repl).astype(jnp.uint32)
+        pts, badvec = fold(pts, badvec, mask, d * repl)
+        d //= 2
+    totals = tuple(a[:, ::lanes] for a in pts)
+    return totals, badvec
+
+
+def _window_buckets(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
+                    repl, use_pallas, interpret=False):
+    """One window's bucket table from presorted (key, index|sign) pairs:
+    two-phase gather -> sweep.  Returns (bx, by, bz [16, lanes] planar,
+    badvec [1, lanes] u32, overflow)."""
+    from . import msm_pallas
+
+    starts, counts = _lane_layout(keys_sorted, n=n, lanes=lanes, repl=repl)
+    bstart = starts // 8
+    smod = starts % 8
+    r_max_eff = r_max + 8          # alignment slop: runs start mid-block
+    overflow = jnp.max(smod + counts) > r_max_eff
+    counts = jnp.minimum(counts, r_max_eff - smod)
+    sorted_rows = _phase_a(tbl, vals_sorted)
+
+    if use_pallas:
+        lb = min(LB, lanes)
+        data = _phase_b_flat(sorted_rows, bstart, r_max_eff, lanes, lb)
+        meta = _meta_flat(smod, counts, lanes, lb)
+        ox, oy, oz, ob = msm_pallas.sweep_flat(data, meta,
+                                               interpret=interpret)
+        bx, by, bz = (o.transpose(1, 0, 2).reshape(NLIMBS, lanes)
+                      for o in (ox, oy, oz))
+        badvec = ob.transpose(1, 0, 2).reshape(1, lanes)
+    else:
+        data = _phase_b(sorted_rows, bstart, r_max_eff, lanes)
+        meta = jnp.stack([smod, counts])
+        bx, by, bz, badvec = _sweep_jnp(data, meta)
+    return bx, by, bz, badvec, overflow
+
+
 def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
-                        repl, num_buckets, use_pallas, interpret=False):
+                        repl, use_pallas, interpret=False, num_buckets=None):
     """One Pippenger window from presorted (key, index|sign) pairs:
-    two-phase gather -> sweep -> sub-lane fold -> weighted bucket
-    reduction.  Returns (Jacobian total [16, 1] x3, overflow, bad)."""
+    two-phase gather -> sweep -> weighted bucket reduction.
+    Returns (Jacobian total [16, 1] x3, overflow, bad)."""
     bx, by, bz, badvec, overflow = _window_buckets(
         tbl, keys_sorted, vals_sorted, n=n, lanes=lanes, r_max=r_max,
-        repl=repl, num_buckets=num_buckets, use_pallas=use_pallas,
-        interpret=interpret)
-    totals, badvec = _reduce_windows(
+        repl=repl, use_pallas=use_pallas, interpret=interpret)
+    totals, bad2 = _reduce_weighted(
         (bx, by, bz), badvec, lanes=lanes, repl=repl,
-        num_buckets=num_buckets, fold=_get_fold(use_pallas, interpret))
-    bad = jnp.any(badvec != 0)
-    return totals + (overflow, bad)
+        fold=_get_fold(use_pallas, interpret))
+    bad = jnp.any(bad2 != 0)
+    return totals[0], totals[1], totals[2], overflow, bad
 
 
-def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets):
+def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl,
+                   num_buckets=None):
     """One window from raw digits (sorts internally) — jnp sweep path.
     Kept for direct kernel tests and the sharded per-device MSM; the fused
     MSM uses the batched sort + a prebuilt row table."""
@@ -345,11 +384,11 @@ def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets):
         keys, sort_payload(digits, n))
     return _window_from_sorted(tbl, keys_sorted, vals_sorted, n=n,
                                lanes=lanes, r_max=r_max, repl=repl,
-                               num_buckets=num_buckets, use_pallas=False)
+                               use_pallas=False)
 
 
-def _window_pallas(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets,
-                   interpret=False):
+def _window_pallas(x, y, inf, digits, *, n, lanes, r_max, repl,
+                   num_buckets=None, interpret=False):
     """One window from raw digits (sorts internally) — pallas sweep path."""
     tbl = build_row_table(x, y, inf)
     keys = jnp.where(inf, 0, jnp.abs(digits))
@@ -357,8 +396,7 @@ def _window_pallas(x, y, inf, digits, *, n, lanes, r_max, repl, num_buckets,
         keys, sort_payload(digits, n))
     return _window_from_sorted(tbl, keys_sorted, vals_sorted, n=n,
                                lanes=lanes, r_max=r_max, repl=repl,
-                               num_buckets=num_buckets, use_pallas=True,
-                               interpret=interpret)
+                               use_pallas=True, interpret=interpret)
 
 
 def _digits_body(raw, c: int, num_windows: int):
@@ -413,31 +451,30 @@ def _msm_from_digits(tbl, inf, digits, *, n, lanes, c, W, uni, top,
     degenerate unchecked add fired (host fallback).
 
     lax.map (sequential scan, body compiled once) rather than vmap over the
-    uniform windows: each window already saturates the VPU (lanes x 16 limbs
-    wide), the batched lowering of the padded gather miscompiles on TPU
-    (observed: identical batch rows producing different results), and the
-    scanned form keeps only one window's gathered data live in HBM."""
+    uniform windows: each window already saturates the VPU, the batched
+    lowering of the padded gather miscompiles on TPU (observed: identical
+    batch rows producing different results), and the scanned form keeps
+    only one window's gathered data live in HBM."""
+    from . import msm_pallas
     keys = jnp.where(inf[None], 0, jnp.abs(digits))            # [W, n]
     keys_sorted, vals_sorted = jax.lax.sort_key_val(
         keys, sort_payload(digits, n), dimension=1)
 
     uni_fn = partial(_window_buckets, n=n, lanes=lanes, r_max=uni["r_max"],
-                     repl=1, num_buckets=uni["num_buckets"],
-                     use_pallas=use_pallas)
-    top_fn = partial(_window_from_sorted, n=n, lanes=lanes, r_max=top["r_max"],
-                     repl=top["repl"], num_buckets=top["num_buckets"],
+                     repl=1, use_pallas=use_pallas)
+    top_fn = partial(_window_from_sorted, n=n, lanes=lanes,
+                     r_max=top["r_max"], repl=top["repl"],
                      use_pallas=use_pallas)
     # uniform windows: per-window bucket tables (lax.map), then ONE batched
-    # reduction over all windows side by side
+    # weighted reduction over all windows side by side
     bxs, bys, bzs, bads, ovfs = jax.lax.map(
         lambda a: uni_fn(tbl, *a),
         (keys_sorted[:W - 1], vals_sorted[:W - 1]))
     cat = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(NLIMBS, (W - 1) * lanes)
-    totals, badcat = _reduce_windows(
+    totals, badcat = _reduce_weighted(
         (cat(bxs), cat(bys), cat(bzs)),
         jnp.transpose(bads, (1, 0, 2)).reshape(1, (W - 1) * lanes),
-        lanes=lanes, repl=1, num_buckets=uni["num_buckets"],
-        fold=_get_fold(use_pallas, False))
+        lanes=lanes, repl=1, fold=_get_fold(use_pallas, False))
     ovf = ovfs
     bad = jnp.any(badcat != 0)
     # [16, W-1] -> [W-1, 16, 1]
@@ -448,7 +485,6 @@ def _msm_from_digits(tbl, inf, digits, *, n, lanes, c, W, uni, top,
     wy = jnp.concatenate([ty, hy[None]], axis=0)
     wz = jnp.concatenate([tz, hz[None]], axis=0)
     if use_pallas:
-        from . import msm_pallas
         res = msm_pallas.combine(wx, wy, wz, W, c)
     else:
         res = _combine_body(wx, wy, wz, W, c)
@@ -511,11 +547,12 @@ class MSMContext:
         self.tbl = jax.jit(build_row_table)(x, y, inf)
         self.inf = inf
         half = 1 << (c - 1)
-        nk_uniform = half + 1                       # bucket keys 0..2^(c-1)
-        if lanes is None:
-            lanes = _round_up(nk_uniform, 128)
-        lanes = max(lanes, nk_uniform)
-        self.lanes = lanes
+        # exactly one lane per bucket key 1..half (keys are 1-based; zero
+        # digits are excluded by the sort order) — a power of two, as the
+        # flat-limb sweep layout requires
+        self.lanes = half if lanes is None else lanes
+        assert self.lanes >= half and self.lanes % 1024 == 0, self.lanes
+        lanes = self.lanes
 
         def rmax_tight(mean):
             # P[Binomial(n, 1/buckets) > mean + 5 sqrt(mean)] ~ 3e-7 per
@@ -529,9 +566,8 @@ class MSMContext:
             return _round_up(mean + 8 * math.isqrt(mean) + 64, 8)
 
         # uniform windows: one bucket per lane
-        mean_uni = -(-self.n // max(1, nk_uniform - 1))
-        self.uni = dict(repl=1, num_buckets=nk_uniform,
-                        r_max=rmax_tight(mean_uni))
+        mean_uni = -(-self.n // half)
+        self.uni = dict(repl=1, r_max=rmax_tight(mean_uni))
         self.uni_safe = dict(self.uni, r_max=rmax_safe(mean_uni))
         # top window: scalars are < FR_MODULUS, so the top digit is bounded by
         # the *modulus'* top bits (plus the signed-digit carry), NOT by the
@@ -539,13 +575,12 @@ class MSMContext:
         # ever occur.  Sizing r_max from the occupied span (not the window
         # range) is what keeps uniform scalars from overflowing the lanes.
         max_key = min(half, (FR_MODULUS >> ((self.num_windows - 1) * c)) + 1)
-        key_hi = max_key + 1                       # bucket keys 0..max_key
+        key_hi = max_key + 1
         repl = 1
         while repl * 2 * key_hi <= lanes and repl < 64:
             repl *= 2
         mean_top = -(-self.n // max(1, max_key * repl))
-        self.top = dict(repl=repl, num_buckets=key_hi,
-                        r_max=rmax_tight(mean_top))
+        self.top = dict(repl=repl, r_max=rmax_tight(mean_top))
         self.top_safe = dict(self.top, r_max=rmax_safe(mean_top))
         # hashable configs for the lru_cached jit factories
         self._uni_key = tuple(sorted(self.uni.items()))

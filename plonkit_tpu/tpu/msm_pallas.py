@@ -33,8 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import ec
+from . import ec, ec_flat
 from .mont import NLIMBS
+
+# flat sweep: u32 columns of one point row (x | y limbs; the infinity and
+# digit-sign flags ride the free high bits of y limb 15, so a transposed
+# 8-point block is exactly 32*8 = 256 u32 — two 128-lane tiles)
+DATA_COLS = 32
+LB = 512                 # lanes per sweep block (8 blocks at c=13)
 
 # rows of the padded gather consumed per grid step; r_max is rounded to a
 # multiple of 8 by the caller, and Mosaic requires the block's
@@ -207,6 +213,122 @@ def sweep_tk(blk4, meta, *, interpret=False):
         ))
         _KERNEL_CACHE[key] = fn
     return fn(blk4, meta)
+
+
+def _sweep_flat_body(r_steps, data_ref, meta_ref, ox_ref, oy_ref, oz_ref,
+                     bad_ref, accx, accy, accz, badacc):
+    """Flat-limb bucket sweep with j-sublane sub-accumulators.
+
+    data block [1, 1, lb, 256]: lb lanes x one block-transposed 8-point
+    block (row-after-transpose i*8 + j: limb i of the block's j-th point;
+    flags ride y limb 15's high bits).  The 8 points land on 8 sublanes:
+    sublane s accumulates the lane's points with within-block offset s —
+    ONE batched mixed-add per grid step covers 8 points/lane at full VPU
+    width with no data relayout (the [lb, 256] -> [256, lb] transpose is
+    VMEM-local).  Sub-accumulators fold 8 -> 1 in-kernel at the last step.
+    meta block [1, 2, lb] int32 (start mod 8, count)."""
+    rb = pl.program_id(1)
+
+    @pl.when(rb == 0)
+    def _():
+        accx[...] = jnp.zeros_like(accx)
+        accy[...] = jnp.zeros_like(accy)
+        accz[...] = jnp.zeros_like(accz)
+        badacc[...] = jnp.zeros_like(badacc)
+
+    lb = accx.shape[1]
+    t = jnp.transpose(data_ref[0, 0])            # [256, lb], rows i*8 + j
+    smod = meta_ref[0, 0, :]
+    cnts = meta_ref[0, 1, :]
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (8, lb), 0)
+    r_point = rb * 8 + jidx
+    valid = (r_point >= smod[None]) & (r_point < smod[None] + cnts[None])
+
+    x2 = [t[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
+    y2 = [t[8 * (NLIMBS + i):8 * (NLIMBS + i) + 8, :] for i in range(NLIMBS)]
+    flag = y2[NLIMBS - 1] >> 16
+    y2[NLIMBS - 1] = y2[NLIMBS - 1] & 0xFFFF
+    q_inf = ~valid | ((flag & 1) != 0)
+    sign = (flag & 2) != 0
+    y2 = ec_flat.f_select(sign, ec_flat.f_neg(y2), y2)
+
+    ax = [accx[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
+    ay = [accy[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
+    az = [accz[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
+    (ax, ay, az), b = ec_flat.add_mixed_unchecked((ax, ay, az), x2, y2, q_inf)
+    for i in range(NLIMBS):
+        accx[8 * i:8 * (i + 1), :] = ax[i]
+        accy[8 * i:8 * (i + 1), :] = ay[i]
+        accz[8 * i:8 * (i + 1), :] = az[i]
+    badacc[...] = badacc[...] | jnp.where(b & ~q_inf, jnp.uint32(1),
+                                          jnp.uint32(0))
+
+    @pl.when(rb == r_steps - 1)
+    def _():
+        # fold the 8 sub-accumulators per lane (tree over the sublane axis);
+        # masked-off partners enter as infinity and the add's select path
+        # passes the accumulator through unflagged
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, lb), 0)
+        for h in (4, 2, 1):
+            ax = [accx[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
+            ay = [accy[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
+            az = [accz[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
+            mask = sub < h
+            qx = [pltpu.roll(v, 8 - h, axis=0) for v in ax]
+            qy = [pltpu.roll(v, 8 - h, axis=0) for v in ay]
+            qz = [jnp.where(mask, pltpu.roll(v, 8 - h, axis=0), 0)
+                  for v in az]
+            (ax, ay, az), b = ec_flat.add_unchecked((ax, ay, az),
+                                                    (qx, qy, qz))
+            for i in range(NLIMBS):
+                accx[8 * i:8 * (i + 1), :] = ax[i]
+                accy[8 * i:8 * (i + 1), :] = ay[i]
+                accz[8 * i:8 * (i + 1), :] = az[i]
+            badacc[...] = badacc[...] | jnp.where(
+                b, jnp.uint32(1), jnp.uint32(0))
+        bad8 = badacc[...]
+        bad = bad8[0:1] | bad8[1:2] | bad8[2:3] | bad8[3:4] | \
+            bad8[4:5] | bad8[5:6] | bad8[6:7] | bad8[7:8]
+        for i in range(NLIMBS):
+            ox_ref[0, i:i + 1, :] = accx[8 * i:8 * i + 1, :]
+            oy_ref[0, i:i + 1, :] = accy[8 * i:8 * i + 1, :]
+            oz_ref[0, i:i + 1, :] = accz[8 * i:8 * i + 1, :]
+        bad_ref[0, 0:1, :] = bad
+
+
+def sweep_flat(data, meta_flat, *, interpret=False):
+    """Flat-limb sweep.  data: [r_steps, nblk, lb, 256] block-transposed
+    8-point blocks (msm._phase_b_flat); meta_flat: [nblk, 2, lb] int32.
+    Returns (x, y, z [nblk, 16, lb] u32, bad [nblk, 1, lb]); planar
+    [16, lanes] is one small transpose away (lane = blk*lb + col)."""
+    r_steps, nblk, lb, cols = data.shape
+    assert cols == DATA_COLS * 8
+    key = ("sweep_flat", r_steps, nblk, lb, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        coord = jax.ShapeDtypeStruct((nblk, NLIMBS, lb), jnp.uint32)
+        cspec = pl.BlockSpec((1, NLIMBS, lb), lambda b, r: (b, 0, 0))
+        fn = jax.jit(pl.pallas_call(
+            partial(_sweep_flat_body, r_steps),
+            grid=(nblk, r_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1, lb, cols), lambda b, r: (r, b, 0, 0)),
+                pl.BlockSpec((1, 2, lb), lambda b, r: (b, 0, 0)),
+            ],
+            out_specs=[cspec, cspec, cspec,
+                       pl.BlockSpec((1, 1, lb), lambda b, r: (b, 0, 0))],
+            out_shape=[coord, coord, coord,
+                       jax.ShapeDtypeStruct((nblk, 1, lb), jnp.uint32)],
+            scratch_shapes=[
+                pltpu.VMEM((NLIMBS * 8, lb), jnp.uint32),
+                pltpu.VMEM((NLIMBS * 8, lb), jnp.uint32),
+                pltpu.VMEM((NLIMBS * 8, lb), jnp.uint32),
+                pltpu.VMEM((8, lb), jnp.uint32),
+            ],
+            interpret=interpret,
+        ))
+        _KERNEL_CACHE[key] = fn
+    return fn(data, meta_flat)
 
 
 def _padd_body(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref, bad_ref,
