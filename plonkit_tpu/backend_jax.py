@@ -228,7 +228,7 @@ class JaxBackend:
             from .backend import _HostMSMContext
             ctx = _HostMSMContext(bases)
         else:
-            ctx = tpu_msm.MSMContext(bases, c=13)
+            ctx = tpu_msm.MSMContext(bases)
         if key is not None:
             self._msm_cache[key] = ctx
         return ctx

@@ -26,8 +26,7 @@ from ..fields import FR_MODULUS
 from ..tpu import ec
 from ..tpu import pallas_kernels as pk
 from ..tpu.mont import NLIMBS
-from ..tpu.msm import (_round_up, _window_kernel, _window_pallas,
-                       signed_digits_np)
+from ..tpu.msm import _round_up, _window_kernel, _window_pallas, digits_np
 from .mesh import AXIS
 
 
@@ -45,14 +44,14 @@ def _dist_windows_fn(n: int, n_devices: int, c: int, mesh_id: int):
     windows of the local point shard, no collectives inside."""
     mesh = _MESHES[mesh_id]
     n_local = n // n_devices
-    num_windows = -(-255 // c)
-    half = 1 << (c - 1)
+    num_windows = -(-254 // c)
+    nkeys = (1 << c) - 1      # unsigned digits: bucket keys 1..2^c-1
     # one lane per 1-based bucket key (see tpu.msm._lane_layout)
-    lanes = max(half, 128)
-    r_uni = _rmax_for(-(-n_local // half))
+    lanes = max(1 << c, 128)
+    r_uni = _rmax_for(-(-n_local // nkeys))
     # top-window occupancy is bounded by the modulus' top bits, not the
     # window range (see tpu.msm.MSMContext._init_params)
-    max_key = min(half, (FR_MODULUS >> ((num_windows - 1) * c)) + 1)
+    max_key = min(nkeys, (FR_MODULUS >> ((num_windows - 1) * c)) + 1)
     key_hi = max_key + 1
     repl = 1
     while repl * 2 * key_hi <= lanes and repl < 64:
@@ -93,11 +92,11 @@ class DistributedMSMContext:
     infinity (digit 0 contributions are skipped by the kernel anyway).
     """
 
-    def __init__(self, mesh, points, c: int = 13):
+    def __init__(self, mesh, points, c: int = 12):
         self.mesh = mesh
         self.D = mesh.devices.size
         self.c = c
-        self.num_windows = -(-255 // c)
+        self.num_windows = -(-254 // c)
         self.host_points = list(points)
         n = _round_up(max(len(points), self.D), self.D)
         padded = self.host_points + [None] * (n - len(points))
@@ -115,7 +114,7 @@ class DistributedMSMContext:
         scalars = [s % FR_MODULUS for s in scalars]
         if len(scalars) < self.n:
             scalars = scalars + [0] * (self.n - len(scalars))
-        digits = signed_digits_np(scalars, self.c, self.num_windows)
+        digits = digits_np(scalars, self.c, self.num_windows)
         dshard = jax.device_put(jnp.asarray(digits),
                                 NamedSharding(self.mesh, P(None, AXIS)))
         fn = _dist_windows_fn(self.n, self.D, self.c, id(self.mesh))

@@ -2,60 +2,58 @@
 kernel #1; reference behavior: bellman_ce multiexp, SURVEY D1c).
 
 TPU has no efficient random-access scatter, so classic per-bucket
-accumulation is reformulated so that **no scatter ever happens**:
+accumulation is reformulated so that **no scatter ever happens** — and
+(round 4) so that the per-window scattered gather, which dominated the
+round-3 profile at ~95% of wall-clock, moves the fewest possible bytes
+through XLA's issue-bound row-gather path (measured on v5e: 6.4 ns/row at
+64 B rows vs 13.8 ns at 256 B, regardless of bytes — the gather is
+row-ISSUE bound, so the design minimizes *rows x row-bytes* jointly):
 
-  1. signed c-bit digit decomposition (host numpy or on-device);
-  2. ONE batched sort of all windows' |digit| keys ([W, n], XLA sort along
-     the n axis) — a batched sort costs ~1/5 of W sequential sorts.  The
-     sort payload packs the point index and the digit's sign into one
-     uint32 (index | sign << 31), so no later per-slot index/sign gathers
-     are needed;
-  3. per window, a TWO-PHASE gather (XLA's gather moves ~13 GB/s
-     regardless of row width — row-latency/issue-bound — so the scattered
-     pass must touch each point exactly once, with the SLIMMEST possible
-     rows, and everything else must ride contiguous rows):
-       a. phase a: one scattered row gather of the [n8, 36]-u32 point row
-          table (x | y | inf, 144 B rows) into sorted order, tagging the
-          digit sign into the flag column (bit 1) — the negation itself
-          happens inside the sweep kernel (16 cheap vector ops) instead of
-          paying 64 gathered bytes for a precomputed -y;
-       b. phase b: an 8-point-ALIGNED block gather (rows of 8 consecutive
-          sorted points; each lane's run [start, start+count) is covered
-          by blocks floor(start/8)..., so slot r of lane l holds sorted
-          position (start//8)*8 + r and validity is the pure arithmetic
-          (start mod 8) <= r < (start mod 8) + count — computed in-kernel
-          from two scalars per lane, no index gather);
-  4. **one bucket per vector lane**, with lane l owning bucket key
-     (l // repl) + 1 (keys are 1-based: zero digits sort first and fall
-     outside every lane's run, so no zero-bucket clamp is needed, and
-     lanes = 2^(c-1) exactly — a power of two, which the flat-limb kernel
-     layout requires).  The sweep kernel (msm_pallas.sweep_flat) keeps
-     limb i of every coordinate in its own 8-sublane vreg slice ("flat
-     limbs", ec_flat.py) so each unchecked mixed-add (11 field muls) runs
-     at full VPU width — measured 0.46 ns/(mul*elem) vs ~5 ns for the
-     planar row-sliced layout.  The loop-carried accumulator IS the bucket
-     table: no flush, no scatter;
-  5. the top window's digits span only the modulus' top bits, so its
-     buckets are *replicated* over `repl` sub-lanes (points of one bucket
-     are split round-robin across sub-lanes by within-run rank), keeping
-     the sequential depth r_max uniform across windows;
-  6. weighted bucket reduction sum_k k*S_k as ONE VMEM-resident kernel per
-     window (msm_pallas.reduce_weighted): sub-lane tree fold + inclusive
+  1. **u16-packed point table** [n8, 16] u32: one point's x|y as 16 words
+     (limbs 2c|2c+1 in word c's lo|hi bits) = exactly one 64 B row — the
+     fastest take shape — with zero padding bytes.  The infinity flag
+     rides bit 31 of word 15 (p < 2^254).
+  2. **unsigned c-bit digits** (c=12): bucket key (12 bits) and point
+     index (20 bits) pack into ONE u32 `key << 20 | idx`, so the batched
+     all-window sort is a single-operand `lax.sort` (measured 42 ms for
+     [22, 2^20] vs 87 ms for the signed design's key+payload sort +
+     carry-chain digit pass), and the sweep has **no sign path at all**
+     (no negation, no sign gathers; 5% fewer VPU ops per add).  The
+     20-bit index bounds a chunk at 2^20 points; larger MSMs split into
+     chunks whose Jacobian results are added at the end (the same
+     decomposition the multi-chip shard path uses).
+  3. per window: phase a = ONE fused 64 B-row take into sorted order +
+     8-point block transpose ([n8,16] -> [nb, 128], one 128-lane tile per
+     block); phase b = an 8-point-ALIGNED block gather of 512 B rows
+     (measured 2.0 ns/row — bandwidth-class, not issue-bound); each
+     lane's run [start, start+count) is covered by blocks
+     floor(start/8)..., validity is pure per-lane arithmetic in-kernel.
+  4. **one bucket per vector lane**, lane l owning bucket key l + 1
+     (keys are 1-based: zero digits sort first and fall outside every
+     lane's run, so no zero-bucket clamp is needed).  The sweep kernel
+     (msm_pallas.sweep_flat) keeps limb i of every coordinate in its own
+     8-sublane vreg slice ("flat limbs", ec_flat.py) so each unchecked
+     mixed-add (11 field muls) runs at full VPU width — measured 0.46
+     ns/(mul*elem).  The loop-carried accumulator IS the bucket table:
+     no flush, no scatter;
+  5. the top window's digits span only the modulus' top bits (for c=12,
+     keys 0..3), so its buckets are *replicated* over `repl` sub-lanes
+     (points of one bucket split round-robin across sub-lanes by
+     within-run rank), keeping the sequential depth r_max uniform;
+  6. weighted bucket reduction sum_k k*S_k batched across all windows
+     (msm_pallas.fold_round rounds): sub-lane tree fold + inclusive
      suffix sums + tree total (sum over representatives of inclusive
-     suffix sums = sum_k k*S_k given the 1-based keys) — ~29 in-VMEM
-     rounds replacing 26 all-window HBM Hillis-Steele passes that
-     measured ~440 ms of the 2^20 MSM;
+     suffix sums = sum_k k*S_k given the 1-based keys);
   7. windows combined on device (batched doubling + tree fold kernel).
 
 Lane padding r_max is intentionally tight — mean + 5*sqrt(mean) + 8
-(P[lane overflow] ~ 3e-7 per lane for uniform scalars; a 2^20 MSM retries
-~2% of the time).  Overflow is *checked on device* and retried with a
-conservative config (mean + 8*sqrt(mean) + 64, < 2^-40 per lane) before
-falling back to the native C++ / host MSM.  Degenerate unchecked adds
-(structured scalar vectors, e.g. 0/1 selector polynomials that concentrate
-thousands of points in one bucket) also flag on device and go straight to
-the host path (correctness first — those commitments happen once per
-setup, not per proof).
+(P[lane overflow] ~ 3e-7 per lane for uniform scalars).  Overflow is
+*checked on device* and retried with a conservative config (mean +
+8*sqrt(mean) + 64, < 2^-40 per lane) before falling back to the native
+C++ / host MSM.  Degenerate unchecked adds (structured scalar vectors,
+e.g. 0/1 selector polynomials that concentrate thousands of points in one
+bucket) also flag on device and go straight to the host path (correctness
+first — those commitments happen once per setup, not per proof).
 """
 
 import math
@@ -67,19 +65,14 @@ import numpy as np
 
 from ..fields import FR_MODULUS
 from . import ec, mont
-from .mont import FQ, NLIMBS
+from .mont import NLIMBS
 
-# point row table: [n8, 64] u32, 256 B rows — x(16) | y(16) | 32 pad.
-# XLA's scattered row gather is erratically width-sensitive on v5e
-# (measured ns/row: 6.4 @ 64 B single-stream, 37 @ 128 B, 45 @ 144 B,
-# 14 @ 256 B, 11.5 @ 512 B; two 64 B gathers in ONE program degrade to
-# ~30 ms, interleaved 2n x 64 B to ~49 ms), so one padded 256 B-row
-# gather is the fastest realizable phase-a shape even though half the
-# bytes are padding.  The infinity flag (bit 16) and the digit sign
-# (bit 17, added in phase a) ride the free high bits of y limb 15.
-ROW_W = 64
-DATA_W = 32         # meaningful columns (x | y)
-FLAG_LIMB = 31      # column carrying the packed flags
+# u32 words per packed point row (x | y as 16-bit limb pairs)
+PACK_W = 16
+FLAG_WORD = 15        # word carrying the infinity flag (bit 31)
+IDX_BITS = 20         # index bits in the packed sort element
+IDX_MASK = (1 << IDX_BITS) - 1
+MAX_CHUNK = 1 << IDX_BITS
 
 import os as _os
 
@@ -87,35 +80,34 @@ import os as _os
 LB = int(_os.environ.get("PLONKIT_TPU_MSM_LB", "512"))
 
 
-def build_row_table(x, y, inf):
-    """[n8, 64] u32 point row table (x | y | pad); infinity flag packed
-    into y limb 15's bit 16.  Rows are padded to a multiple of 8 so the
-    aligned block gather (phase b) can view the table as 8-point blocks."""
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def build_packed_table(x, y, inf):
+    """[n8, 16] u32 packed point rows from planar [16, n] u32 limb arrays
+    (Montgomery form) + [n] infinity mask.  Word c packs limbs 2c|2c+1 of
+    x (c<8) or y (c>=8) as lo|hi 16 bits; the infinity flag is bit 31 of
+    word 15 (y's top limb < 2^14).  Rows pad to a multiple of 8 (padding
+    rows flagged infinity) so phase b can view the table as 8-point
+    blocks."""
     n = x.shape[1]
     n8 = _round_up(n, 8)
-    ytop = y[NLIMBS - 1] | (inf.astype(jnp.uint32) << 16)
-    tbl = jnp.concatenate([
-        jnp.transpose(x), jnp.transpose(y[:NLIMBS - 1]), ytop[:, None],
-        jnp.zeros((n, ROW_W - DATA_W), dtype=jnp.uint32),
-    ], axis=1)
+    cols = [x[2 * c] | (x[2 * c + 1] << 16) for c in range(8)]
+    cols += [y[2 * c] | (y[2 * c + 1] << 16) for c in range(8)]
+    cols[FLAG_WORD] = cols[FLAG_WORD] | (inf.astype(jnp.uint32) << 31)
+    tbl = jnp.stack(cols, axis=1)
     if n8 > n:
-        pad = jnp.zeros((n8 - n, ROW_W), dtype=jnp.uint32)
-        pad = pad.at[:, FLAG_LIMB].set(1 << 16)
+        pad = jnp.zeros((n8 - n, PACK_W), dtype=jnp.uint32)
+        pad = pad.at[:, FLAG_WORD].set(jnp.uint32(1) << 31)
         tbl = jnp.concatenate([tbl, pad], axis=0)
     return tbl
 
 
-def sort_payload(digits, n):
-    """uint32 sort payload: point index | digit sign << 31."""
-    iota = jax.lax.broadcasted_iota(jnp.uint32, digits.shape[-1:], 0)
-    sign = (digits < 0).astype(jnp.uint32) << 31
-    return jnp.broadcast_to(iota, digits.shape) | sign
-
-
-def signed_digits_np(scalars, c: int, num_windows: int) -> np.ndarray:
-    """[num_windows, N] int32 signed digits in [-2^(c-1), 2^(c-1)]."""
+def digits_np(scalars, c: int, num_windows: int) -> np.ndarray:
+    """[num_windows, N] int32 unsigned c-bit digits (host numpy)."""
     n = len(scalars)
-    limbs = mont.FR.to_limbs_np(scalars).astype(np.uint64)  # [16, N] of 16-bit
+    limbs = mont.FR.to_limbs_np(scalars).astype(np.uint64)  # [16, N] 16-bit
     digits = np.zeros((num_windows, n), dtype=np.int64)
     for w in range(num_windows):
         bit0 = w * c
@@ -128,23 +120,35 @@ def signed_digits_np(scalars, c: int, num_windows: int) -> np.ndarray:
             val = val | (limbs[limb0] << have)
             have += 16
         digits[w] = (val & ((1 << c) - 1)).astype(np.int64)
-    # signed adjustment
-    carry = np.zeros(n, dtype=np.int64)
-    half = 1 << (c - 1)
-    for w in range(num_windows):
-        d = digits[w] + carry
-        carry = (d > half).astype(np.int64)
-        digits[w] = d - (carry << c)
-    assert (carry == 0).all(), "scalar exceeded digit range"
     return digits.astype(np.int32)
+
+
+def _digits_packed(raw, c: int, num_windows: int):
+    """[W, N] u32 packed sort elements `digit << IDX_BITS | idx` from
+    [16, N] canonical 16-bit Fr limbs, on device (no carry chain — digits
+    are unsigned)."""
+    n = raw.shape[1]
+    assert n <= MAX_CHUNK, n
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (1, n), 1)[0]
+    out = []
+    for w in range(num_windows):
+        bit0 = w * c
+        limb0 = bit0 // 16
+        off = bit0 % 16
+        val = raw[limb0] >> off
+        if off + c > 16 and limb0 + 1 < NLIMBS:
+            val = val | (raw[limb0 + 1] << (16 - off))
+        d = val & jnp.uint32((1 << c) - 1)
+        out.append((d << IDX_BITS) | iota)
+    return jnp.stack(out)
 
 
 def _lane_layout(keys_sorted, *, n, lanes, repl):
     """Per-lane run boundaries from one window's sorted bucket keys.
 
     Lane l accumulates sub-bucket l + repl, i.e. bucket key l//repl + 1
-    (1-based keys: zero-key points — zero digits / infinity — sort before
-    every lane's range and are excluded with no clamp).  Returns
+    (1-based keys: zero-key points — zero digits — sort before every
+    lane's range and are excluded with no clamp).  Returns
     (starts, counts) [lanes]."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     if repl > 1:
@@ -164,70 +168,43 @@ def _lane_layout(keys_sorted, *, n, lanes, repl):
         sub = (iota - first) // jnp.maximum(per, 1)
         subkeys = keys_sorted.astype(jnp.int32) * repl + sub
     else:
-        subkeys = keys_sorted
+        subkeys = keys_sorted.astype(jnp.int32)
     lane_ids = jnp.arange(lanes, dtype=jnp.int32) + repl
     starts = jnp.searchsorted(subkeys, lane_ids, side="left").astype(jnp.int32)
     ends = jnp.concatenate([starts[1:], jnp.asarray([n], dtype=jnp.int32)])
     return starts, ends - starts
 
 
-def _phase_a(tbl, vals_sorted):
-    """Scattered row gather into sorted order + sign tag.
+def _phase_a(tbl, srt, idx_bits=IDX_BITS):
+    """Fused sorted-order row gather + 8-point block transpose.
 
-    tbl: [n8, 64]; vals_sorted: [n] uint32 (index | sign << 31).  Returns
-    [n8, 32] (x | y, padding dropped) with the digit sign at y-limb-15
-    bit 17 (negation happens inside the sweep kernel)."""
-    n = vals_sorted.shape[0]
+    tbl: [n8, 16] packed rows; srt: [n8] u32 sorted `key<<idx_bits|idx`
+    elements.  Returns [nb, 128] u32 — row b holds the b-th 8-point block
+    of the sorted sequence, block-transposed so element c*8 + j is packed
+    word c of sorted point 8b + j (one row = one 128-lane tile, the
+    layout sweep_flat consumes)."""
     n8 = tbl.shape[0]
-    idx = (vals_sorted & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-    g = jnp.take(tbl, idx, axis=0)                       # [n, 64]
-    sign = (vals_sorted >> 31).astype(jnp.uint32)
-    flagged = g[:, FLAG_LIMB] | (sign << 17)
-    out = jnp.concatenate([g[:, :FLAG_LIMB], flagged[:, None]], axis=1)
-    if n8 > n:
-        pad = jnp.zeros((n8 - n, DATA_W), dtype=jnp.uint32)
-        pad = pad.at[:, FLAG_LIMB].set(1 << 16)        # infinity
-        out = jnp.concatenate([out, pad], axis=0)
-    return out
+    idx = (srt & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    g = jnp.take(tbl, idx, axis=0)                       # [n8, 16]
+    nb = n8 // 8
+    return g.reshape(nb, 8, PACK_W).transpose(0, 2, 1).reshape(nb, PACK_W * 8)
 
 
-def _phase_b(sorted_rows, bstart, r_max_eff, lanes):
-    """Aligned block gather -> [DATA_W, r_max_eff, lanes] padded columns
-    (planar layout, jnp sweep path): rows 0-15 x limbs, 16-31 y limbs
-    (flags packed in y limb 15).
+def _phase_b_flat(sr2, bstart, r_max_eff, lanes, lb):
+    """Aligned block gather for sweep_flat: [r_steps, nblk, lb, 128].
 
+    sr2: [nb, 128] block-transposed sorted rows (_phase_a output);
     bstart: [lanes] int32 = starts // 8.  Lane l's column holds sorted
     positions bstart[l]*8 .. +r_max_eff; block ids past the array end are
     clamped (those rows are invalid by count)."""
-    nb = sorted_rows.shape[0] // 8
-    rb = r_max_eff // 8
-    blk_src = sorted_rows.reshape(nb, 8 * DATA_W)
-    ids = jnp.minimum(bstart[None, :]
-                      + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0),
-                      nb - 1)
-    blk = jnp.take(blk_src, ids.reshape(-1), axis=0)
-    blk = blk.reshape(rb, lanes, 8, DATA_W)
-    return jnp.transpose(blk, (3, 0, 2, 1)).reshape(DATA_W, r_max_eff, lanes)
-
-
-def _phase_b_flat(sorted_rows, bstart, r_max_eff, lanes, lb):
-    """Aligned block gather for sweep_flat: [r_steps, nblk, lb, 256].
-
-    The 8-point blocks of sorted_rows are transposed ONCE at n-scale
-    ([nb, 8, 32] -> [nb, 32, 8], so a gathered block row reads limb-major:
-    transposed-row index i*8 + j); the r_max-padded gather output then
-    needs NO further relayout — a per-window 6-D transpose of the padded
-    gather measured ~27 ms/window."""
-    nb = sorted_rows.shape[0] // 8
+    nb = sr2.shape[0]
     rb = r_max_eff // 8
     nblk = lanes // lb
-    sr2 = sorted_rows.reshape(nb, 8, DATA_W).transpose(0, 2, 1) \
-                     .reshape(nb, DATA_W * 8)
     ids = jnp.minimum(bstart[None, :]
                       + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0),
                       nb - 1).reshape(-1)
-    blk = jnp.take(sr2, ids, axis=0)                     # [rb*lanes, 256]
-    return blk.reshape(rb, nblk, lb, DATA_W * 8)
+    blk = jnp.take(sr2, ids, axis=0)                     # [rb*lanes, 128]
+    return blk.reshape(rb, nblk, lb, PACK_W * 8)
 
 
 def _meta_flat(smod, cnts, lanes, lb):
@@ -237,34 +214,42 @@ def _meta_flat(smod, cnts, lanes, lb):
     return meta.reshape(2, nblk, lb).transpose(1, 0, 2)
 
 
-def _sweep_jnp(data, meta):
+def _sweep_jnp(data, meta_flat):
     """jnp bucket accumulation (CPU fallback for msm_pallas.sweep_flat):
-    fori_loop of batched unchecked mixed-adds; the loop-carried accumulator
-    is the bucket table.  data: [ROW_W, r_max_eff, lanes] (planar phase_b);
-    meta: [2, lanes] int32 (start mod 8, count)."""
-    _, r_max_eff, lanes = data.shape
-    smod = meta[0]
-    cnts = meta[1]
+    fori_loop of batched unchecked mixed-adds over the same packed flat
+    layout; the loop-carried accumulator is the bucket table.
+    data: [r_steps, nblk, lb, 128]; meta_flat: [nblk, 2, lb] int32.
+    Returns (x, y, z [nblk, 16, lb], bad [nblk, 1, lb]) like sweep_flat."""
+    r_steps, nblk, lb, _ = data.shape
+    lanes = nblk * lb
+    r_max_eff = r_steps * 8
+    # [r_steps, nblk, lb, 16, 8] -> [r_steps, 8, 16, lanes]: slot r of a
+    # lane is element (r // 8, r % 8)
+    d = data.reshape(r_steps, nblk, lb, PACK_W, 8)
+    d = jnp.transpose(d, (0, 4, 3, 1, 2)).reshape(r_steps * 8, PACK_W, lanes)
+    smod = meta_flat[:, 0, :].reshape(lanes)
+    cnts = meta_flat[:, 1, :].reshape(lanes)
 
     def body(r, carry):
         acc, bad = carry
-        row = jax.lax.dynamic_index_in_dim(data, r, axis=1, keepdims=False)
-        xr = row[:NLIMBS]
-        ytop = row[2 * NLIMBS - 1]
-        flag = ytop >> 16
-        yr = jnp.concatenate([row[NLIMBS:2 * NLIMBS - 1],
-                              (ytop & 0xFFFF)[None]], axis=0)
+        row = jax.lax.dynamic_index_in_dim(d, r, axis=0, keepdims=False)
+        xr = jnp.stack([(row[i // 2] >> (16 * (i % 2))) & 0xFFFF
+                        for i in range(NLIMBS)])
+        yw = [row[8 + i // 2] >> (16 * (i % 2)) for i in range(NLIMBS)]
+        yr = jnp.stack([w & 0xFFFF for w in yw[:NLIMBS - 1]]
+                       + [yw[NLIMBS - 1] & 0x3FFF])
+        p_inf = (row[FLAG_WORD] >> 31) != 0
         valid = (r >= smod) & (r < smod + cnts)
-        q_inf = ~valid | ((flag & 1) != 0)
-        sign = (flag & 2) != 0
-        yr = mont.select(sign, mont.neg(FQ, yr), yr)
+        q_inf = ~valid | p_inf
         acc, b = ec.add_mixed_unchecked(acc, (xr, yr, q_inf))
         return acc, bad | (b & ~q_inf)[None].astype(jnp.uint32)
 
     bad0 = jnp.zeros((1, lanes), dtype=jnp.uint32)
     (bx, by, bz), bad = jax.lax.fori_loop(0, r_max_eff, body,
                                           (ec.infinity(lanes), bad0))
-    return bx, by, bz, bad
+    shape = lambda a: a.reshape(NLIMBS, nblk, lb).transpose(1, 0, 2)
+    return shape(bx), shape(by), shape(bz), bad.reshape(1, nblk, lb) \
+        .transpose(1, 0, 2)
 
 
 def _fold_jnp(pts, badvec, mask_u32, shift):
@@ -327,45 +312,44 @@ def _reduce_weighted(pts, badvec, *, lanes, repl, fold):
     return totals, badvec
 
 
-def _window_buckets(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
-                    repl, use_pallas, interpret=False):
-    """One window's bucket table from presorted (key, index|sign) pairs:
-    two-phase gather -> sweep.  Returns (bx, by, bz [16, lanes] planar,
-    badvec [1, lanes] u32, overflow)."""
+def _window_buckets(tbl, srt, *, n, lanes, r_max, repl, use_pallas,
+                    interpret=False, idx_bits=IDX_BITS):
+    """One window's bucket table from its sorted packed elements: fused
+    gather+transpose -> aligned block gather -> sweep.  Returns (bx, by,
+    bz [16, lanes] planar, badvec [1, lanes] u32, overflow)."""
     from . import msm_pallas
 
+    keys_sorted = (srt >> idx_bits).astype(jnp.int32)
     starts, counts = _lane_layout(keys_sorted, n=n, lanes=lanes, repl=repl)
     bstart = starts // 8
     smod = starts % 8
     r_max_eff = r_max + 8          # alignment slop: runs start mid-block
     overflow = jnp.max(smod + counts) > r_max_eff
     counts = jnp.minimum(counts, r_max_eff - smod)
-    sorted_rows = _phase_a(tbl, vals_sorted)
+    sr2 = _phase_a(tbl, srt, idx_bits)
 
+    lb = min(LB, lanes)
+    data = _phase_b_flat(sr2, bstart, r_max_eff, lanes, lb)
+    meta = _meta_flat(smod, counts, lanes, lb)
     if use_pallas:
-        lb = min(LB, lanes)
-        data = _phase_b_flat(sorted_rows, bstart, r_max_eff, lanes, lb)
-        meta = _meta_flat(smod, counts, lanes, lb)
         ox, oy, oz, ob = msm_pallas.sweep_flat(data, meta,
                                                interpret=interpret)
-        bx, by, bz = (o.transpose(1, 0, 2).reshape(NLIMBS, lanes)
-                      for o in (ox, oy, oz))
-        badvec = ob.transpose(1, 0, 2).reshape(1, lanes)
     else:
-        data = _phase_b(sorted_rows, bstart, r_max_eff, lanes)
-        meta = jnp.stack([smod, counts])
-        bx, by, bz, badvec = _sweep_jnp(data, meta)
+        ox, oy, oz, ob = _sweep_jnp(data, meta)
+    bx, by, bz = (o.transpose(1, 0, 2).reshape(NLIMBS, lanes)
+                  for o in (ox, oy, oz))
+    badvec = ob.transpose(1, 0, 2).reshape(1, lanes)
     return bx, by, bz, badvec, overflow
 
 
-def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
-                        repl, use_pallas, interpret=False, num_buckets=None):
-    """One Pippenger window from presorted (key, index|sign) pairs:
-    two-phase gather -> sweep -> weighted bucket reduction.
+def _window_from_sorted(tbl, srt, *, n, lanes, r_max, repl, use_pallas,
+                        interpret=False, idx_bits=IDX_BITS):
+    """One Pippenger window from presorted packed elements:
+    gathers -> sweep -> weighted bucket reduction.
     Returns (Jacobian total [16, 1] x3, overflow, bad)."""
     bx, by, bz, badvec, overflow = _window_buckets(
-        tbl, keys_sorted, vals_sorted, n=n, lanes=lanes, r_max=r_max,
-        repl=repl, use_pallas=use_pallas, interpret=interpret)
+        tbl, srt, n=n, lanes=lanes, r_max=r_max, repl=repl,
+        use_pallas=use_pallas, interpret=interpret, idx_bits=idx_bits)
     totals, bad2 = _reduce_weighted(
         (bx, by, bz), badvec, lanes=lanes, repl=repl,
         fold=_get_fold(use_pallas, interpret))
@@ -374,62 +358,31 @@ def _window_from_sorted(tbl, keys_sorted, vals_sorted, *, n, lanes, r_max,
 
 
 def _window_kernel(x, y, inf, digits, *, n, lanes, r_max, repl,
-                   num_buckets=None):
-    """One window from raw digits (sorts internally) — jnp sweep path.
-    Kept for direct kernel tests and the sharded per-device MSM; the fused
-    MSM uses the batched sort + a prebuilt row table."""
-    tbl = build_row_table(x, y, inf)
-    keys = jnp.where(inf, 0, jnp.abs(digits))
-    keys_sorted, vals_sorted = jax.lax.sort_key_val(
-        keys, sort_payload(digits, n))
-    return _window_from_sorted(tbl, keys_sorted, vals_sorted, n=n,
-                               lanes=lanes, r_max=r_max, repl=repl,
-                               use_pallas=False)
+                   use_pallas=False, interpret=False):
+    """One window from raw unsigned digits (sorts internally).  Kept for
+    direct kernel tests and the sharded per-device MSM; the fused MSM uses
+    the batched sort + a prebuilt packed table.  Packs (digit, idx) into
+    one u32 with just enough index bits for n8 — callers must keep
+    c + ceil(log2(n8)) <= 32."""
+    tbl = build_packed_table(x, y, inf)
+    n8 = tbl.shape[0]
+    idx_bits = max(1, (n8 - 1).bit_length())
+    d = digits.astype(jnp.uint32)
+    if n8 > d.shape[0]:
+        d = jnp.pad(d, (0, n8 - d.shape[0]))
+    assert int(lanes).bit_length() + idx_bits <= 33, (lanes, n8)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (1, n8), 1)[0]
+    srt = jax.lax.sort((d << idx_bits) | iota)
+    return _window_from_sorted(tbl, srt, n=n8, lanes=lanes, r_max=r_max,
+                               repl=repl, use_pallas=use_pallas,
+                               interpret=interpret, idx_bits=idx_bits)
 
 
 def _window_pallas(x, y, inf, digits, *, n, lanes, r_max, repl,
-                   num_buckets=None, interpret=False):
-    """One window from raw digits (sorts internally) — pallas sweep path."""
-    tbl = build_row_table(x, y, inf)
-    keys = jnp.where(inf, 0, jnp.abs(digits))
-    keys_sorted, vals_sorted = jax.lax.sort_key_val(
-        keys, sort_payload(digits, n))
-    return _window_from_sorted(tbl, keys_sorted, vals_sorted, n=n,
-                               lanes=lanes, r_max=r_max, repl=repl,
-                               use_pallas=True, interpret=interpret)
-
-
-def _digits_body(raw, c: int, num_windows: int):
-    """Device-side signed digit decomposition from [16, N] canonical 16-bit
-    limbs (mirror of signed_digits_np): keeps MSM inputs on device so
-    repeated commitments never round-trip through python ints."""
-    half = 1 << (c - 1)
-    digs = []
-    for w in range(num_windows):
-        bit0 = w * c
-        limb0 = bit0 // 16
-        off = bit0 % 16
-        val = raw[limb0] >> off
-        have = 16 - off
-        lidx = limb0 + 1
-        while have < c and lidx < NLIMBS:
-            val = val | (raw[lidx] << have)
-            have += 16
-            lidx += 1
-        digs.append((val & ((1 << c) - 1)).astype(jnp.int32))
-    digits = jnp.stack(digs)
-
-    def body(w, st):
-        carry, out = st
-        d = digits[w] + carry
-        new_carry = (d > half).astype(jnp.int32)
-        d = d - (new_carry << c)
-        return new_carry, out.at[w].set(d)
-
-    carry = jnp.zeros((digits.shape[1],), jnp.int32)
-    out = jnp.zeros_like(digits)
-    _, out = jax.lax.fori_loop(0, num_windows, body, (carry, out))
-    return out
+                   interpret=False):
+    """One window from raw unsigned digits — pallas sweep path."""
+    return _window_kernel(x, y, inf, digits, n=n, lanes=lanes, r_max=r_max,
+                          repl=repl, use_pallas=True, interpret=interpret)
 
 
 def _combine_body(wx, wy, wz, W: int, c: int):
@@ -443,12 +396,13 @@ def _combine_body(wx, wy, wz, W: int, c: int):
     return jax.lax.fori_loop(0, W - 1, body, (wx[W - 1], wy[W - 1], wz[W - 1]))
 
 
-def _msm_from_digits(tbl, inf, digits, *, n, lanes, c, W, uni, top,
+def _msm_from_packed(tbl, packed, *, n, lanes, c, W, uni, mid, top,
                      use_pallas=False):
-    """Full MSM from a [W, n] digit matrix: one batched sort, all windows,
-    device combine.  Returns (result, overflow, bad) — overflow means a
-    lane run exceeded r_max (retry with a roomier config); bad means a
-    degenerate unchecked add fired (host fallback).
+    """Full MSM from a [W, n] packed digit matrix: one batched
+    single-operand sort, all windows, device combine.  Returns (result,
+    overflow, bad) — overflow means a lane run exceeded r_max (retry with
+    a roomier config); bad means a degenerate unchecked add fired (host
+    fallback).
 
     lax.map (sequential scan, body compiled once) rather than vmap over the
     uniform windows: each window already saturates the VPU, the batched
@@ -456,34 +410,38 @@ def _msm_from_digits(tbl, inf, digits, *, n, lanes, c, W, uni, top,
     batch rows producing different results), and the scanned form keeps
     only one window's gathered data live in HBM."""
     from . import msm_pallas
-    keys = jnp.where(inf[None], 0, jnp.abs(digits))            # [W, n]
-    keys_sorted, vals_sorted = jax.lax.sort_key_val(
-        keys, sort_payload(digits, n), dimension=1)
+    srt = jax.lax.sort(packed, dimension=1)              # [W, n]
 
     uni_fn = partial(_window_buckets, n=n, lanes=lanes, r_max=uni["r_max"],
                      repl=1, use_pallas=use_pallas)
+    mid_fn = partial(_window_from_sorted, n=n, lanes=lanes,
+                     r_max=mid["r_max"], repl=mid["repl"],
+                     use_pallas=use_pallas)
     top_fn = partial(_window_from_sorted, n=n, lanes=lanes,
                      r_max=top["r_max"], repl=top["repl"],
                      use_pallas=use_pallas)
-    # uniform windows: per-window bucket tables (lax.map), then ONE batched
-    # weighted reduction over all windows side by side
+    # uniform windows 0..W-3: per-window bucket tables (lax.map), then ONE
+    # batched weighted reduction over all windows side by side; windows
+    # W-2 (mass-skewed) and W-1 (top, replicated) run with their own
+    # configs (see _Chunk)
     bxs, bys, bzs, bads, ovfs = jax.lax.map(
-        lambda a: uni_fn(tbl, *a),
-        (keys_sorted[:W - 1], vals_sorted[:W - 1]))
-    cat = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(NLIMBS, (W - 1) * lanes)
+        lambda s: uni_fn(tbl, s), srt[:W - 2])
+    cat = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(NLIMBS, (W - 2) * lanes)
     totals, badcat = _reduce_weighted(
         (cat(bxs), cat(bys), cat(bzs)),
-        jnp.transpose(bads, (1, 0, 2)).reshape(1, (W - 1) * lanes),
+        jnp.transpose(bads, (1, 0, 2)).reshape(1, (W - 2) * lanes),
         lanes=lanes, repl=1, fold=_get_fold(use_pallas, False))
     ovf = ovfs
     bad = jnp.any(badcat != 0)
-    # [16, W-1] -> [W-1, 16, 1]
+    # [16, W-2] -> [W-2, 16, 1]
     tx, ty, tz = (jnp.transpose(a, (1, 0))[:, :, None] for a in totals)
-    hx, hy, hz, hovf, hbad = top_fn(tbl, keys_sorted[W - 1],
-                                    vals_sorted[W - 1])
-    wx = jnp.concatenate([tx, hx[None]], axis=0)
-    wy = jnp.concatenate([ty, hy[None]], axis=0)
-    wz = jnp.concatenate([tz, hz[None]], axis=0)
+    mx, my, mz, movf, mbad = mid_fn(tbl, srt[W - 2])
+    hx, hy, hz, hovf, hbad = top_fn(tbl, srt[W - 1])
+    wx = jnp.concatenate([tx, mx[None], hx[None]], axis=0)
+    wy = jnp.concatenate([ty, my[None], hy[None]], axis=0)
+    wz = jnp.concatenate([tz, mz[None], hz[None]], axis=0)
+    ovf = jnp.any(ovf) | movf
+    bad = bad | mbad
     if use_pallas:
         res = msm_pallas.combine(wx, wy, wz, W, c)
     else:
@@ -492,38 +450,113 @@ def _msm_from_digits(tbl, inf, digits, *, n, lanes, c, W, uni, top,
 
 
 @lru_cache(maxsize=None)
-def _msm_digits_jit(n, lanes, c, W, uni_key, top_key, use_pallas):
-    """One-dispatch MSM from host-computed digits (msm() path)."""
-    fn = partial(_msm_from_digits, n=n, lanes=lanes, c=c, W=W,
-                 uni=dict(uni_key), top=dict(top_key), use_pallas=use_pallas)
-    return jax.jit(fn)
+def _msm_digits_jit(n, lanes, c, W, uni_key, mid_key, top_key, use_pallas):
+    """One-dispatch MSM from host-computed digits (msm() path).  Takes
+    (tbl, digits [W, n] int32) — packing with the index iota happens
+    in-program."""
+    def run(tbl, digits):
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (1, n), 1)[0]
+        packed = (digits.astype(jnp.uint32) << IDX_BITS) | iota[None]
+        return _msm_from_packed(tbl, packed, n=n, lanes=lanes, c=c, W=W,
+                                uni=dict(uni_key), mid=dict(mid_key),
+                                top=dict(top_key), use_pallas=use_pallas)
+    return jax.jit(run)
 
 
 @lru_cache(maxsize=None)
-def _msm_vec_jit(n, n_in, lanes, c, W, uni_key, top_key, use_pallas):
+def _msm_vec_jit(n, n_in, lanes, c, W, uni_key, mid_key, top_key,
+                 use_pallas):
     """One-dispatch MSM from device Montgomery Fr limbs: from-Montgomery,
     digit decomposition, all windows, and the window combine fused into a
     single compiled program (per-op dispatch through the remote-TPU tunnel
     costs ~10ms; the eager variant spent seconds on it per MSM)."""
-    def run(tbl, inf, v_mont):
+    def run(tbl, v_mont):
         raw = mont.from_mont(mont.FR, v_mont)
         if n_in < n:
             raw = jnp.pad(raw, ((0, 0), (0, n - n_in)))
-        digits = _digits_body(raw, c, W)
-        return _msm_from_digits(tbl, inf, digits, n=n, lanes=lanes, c=c,
-                                W=W, uni=dict(uni_key), top=dict(top_key),
-                                use_pallas=use_pallas)
+        packed = _digits_packed(raw, c, W)
+        return _msm_from_packed(tbl, packed, n=n, lanes=lanes, c=c,
+                                W=W, uni=dict(uni_key), mid=dict(mid_key),
+                                top=dict(top_key), use_pallas=use_pallas)
     return jax.jit(run)
 
 
-def _round_up(v, m):
-    return -(-v // m) * m
+class _Chunk:
+    """Device-prepared bases + window configs for one <=2^20-point chunk."""
+
+    def __init__(self, x, y, inf, c, lanes):
+        n = x.shape[1]
+        assert n <= MAX_CHUNK, n
+        self.tbl = jax.jit(build_packed_table)(x, y, inf)
+        self.n8 = int(self.tbl.shape[0])
+        self.n = n
+        half = 1 << c
+        # one lane per bucket key 1..2^c-1 (keys are 1-based; zero digits
+        # are excluded by the sort order); lane 2^c-1 (key 2^c) stays empty
+        self.lanes = lanes
+        assert self.lanes >= half and self.lanes % 1024 == 0, self.lanes
+
+        def rmax_tight(mean):
+            # P[Binomial(n, 1/buckets) > mean + 5 sqrt(mean)] ~ 3e-7 per
+            # lane: a 2^20 MSM (90K lane-windows) retries ~3% of the time
+            mean = max(1, mean)
+            return _round_up(mean + 5 * math.isqrt(mean) + 8, 8)
+
+        def rmax_safe(mean):
+            # < 2^-40 per lane — overflow here means adversarial structure
+            mean = max(1, mean)
+            return _round_up(mean + 8 * math.isqrt(mean) + 64, 8)
+
+        num_windows = -(-254 // c)
+        # uniform windows (0..W-3): each key's probability mass for a
+        # uniform scalar < FR_MODULUS is within 1e-4 of 1/2^c, so one
+        # bucket per lane with a mean-sized run
+        mean_uni = -(-self.n8 // (half - 1))
+        self.uni = dict(repl=1, r_max=rmax_tight(mean_uni))
+        self.uni_safe = dict(self.uni, r_max=rmax_safe(mean_uni))
+        # top window (W-1): the digit is bounded by the modulus' top bits —
+        # for c=12 only keys 0..3 occur (digits are unsigned: no carry
+        # slack) and each has mass <= 2^((W-1)c)/r (~0.33), concentrating
+        # n/3 points per bucket.  Replication spreads each hot bucket over
+        # `repl` sub-lanes; r_max is sized from the worst KEY MASS, not
+        # from n/num_keys (key masses here are far from uniform).
+        shift_top = (num_windows - 1) * c
+        max_key = min(half - 1, FR_MODULUS >> shift_top)
+        repl = 1
+        while 2 * repl * (max_key + 1) <= lanes:
+            repl *= 2
+        mean_top = -(-self.n8 * (1 << shift_top) // (FR_MODULUS * repl))
+        self.top = dict(repl=repl, r_max=rmax_tight(mean_top))
+        self.top_safe = dict(self.top, r_max=rmax_safe(mean_top))
+        # window W-2 rides below the truncated top window, so its key
+        # masses are skewed by (T+1)/T where T = floor(r / 2^((W-1)c)) —
+        # for c=12, T=3: keys below r's bits (W-2)c..(W-1)c carry 4/3 of
+        # the uniform mass (the 4th period of the digit pattern is cut off
+        # by r).  The window spans the full key range, so sub-lane
+        # replication cannot fit in `lanes`; it simply gets a mass-sized
+        # (larger) r_max of its own.
+        shift_mid = (num_windows - 2) * c
+        mass_num = (FR_MODULUS >> shift_top) + 1    # (T+1) periods
+        mean_mid = -(-self.n8 * mass_num * (1 << shift_mid) // FR_MODULUS)
+        self.mid = dict(repl=1, r_max=rmax_tight(mean_mid))
+        self.mid_safe = dict(self.mid, r_max=rmax_safe(mean_mid))
+        # hashable configs for the lru_cached jit factories
+        self.uni_key = tuple(sorted(self.uni.items()))
+        self.mid_key = tuple(sorted(self.mid.items()))
+        self.top_key = tuple(sorted(self.top.items()))
+        self.uni_safe_key = tuple(sorted(self.uni_safe.items()))
+        self.mid_safe_key = tuple(sorted(self.mid_safe.items()))
+        self.top_safe_key = tuple(sorted(self.top_safe.items()))
 
 
 class MSMContext:
-    """Device-resident prepared bases for repeated MSMs over one SRS."""
+    """Device-resident prepared bases for repeated MSMs over one SRS.
 
-    def __init__(self, points, c: int = 13, lanes: int = None):
+    MSMs larger than 2^20 points (the packed sort element's index bound)
+    split into chunks whose Jacobian partial results are summed on host —
+    the same long-axis decomposition the sharded multi-chip MSM uses."""
+
+    def __init__(self, points, c: int = 12, lanes: int = None):
         self.host_points = list(points)
         self.host_points_loader = None
         self.n = len(points)
@@ -531,7 +564,7 @@ class MSMContext:
         self._init_params(x, y, inf, c, lanes)
 
     @classmethod
-    def from_device_affine(cls, x, y, inf, c: int = 13, lanes: int = None,
+    def from_device_affine(cls, x, y, inf, c: int = 12, lanes: int = None,
                            host_points_loader=None):
         ctx = cls.__new__(cls)
         ctx.host_points = None
@@ -542,51 +575,13 @@ class MSMContext:
 
     def _init_params(self, x, y, inf, c, lanes):
         self.c = c
-        # 255 bits: top window must absorb the signed-digit carry
-        self.num_windows = -(-255 // c)
-        self.tbl = jax.jit(build_row_table)(x, y, inf)
-        self.inf = inf
-        half = 1 << (c - 1)
-        # exactly one lane per bucket key 1..half (keys are 1-based; zero
-        # digits are excluded by the sort order) — a power of two, as the
-        # flat-limb sweep layout requires
-        self.lanes = half if lanes is None else lanes
-        assert self.lanes >= half and self.lanes % 1024 == 0, self.lanes
-        lanes = self.lanes
-
-        def rmax_tight(mean):
-            # P[Binomial(n, 1/buckets) > mean + 5 sqrt(mean)] ~ 3e-7 per
-            # lane: a 2^20 MSM (84K lanes) retries ~2% of the time
-            mean = max(1, mean)
-            return _round_up(mean + 5 * math.isqrt(mean) + 8, 8)
-
-        def rmax_safe(mean):
-            # < 2^-40 per lane — overflow here means adversarial structure
-            mean = max(1, mean)
-            return _round_up(mean + 8 * math.isqrt(mean) + 64, 8)
-
-        # uniform windows: one bucket per lane
-        mean_uni = -(-self.n // half)
-        self.uni = dict(repl=1, r_max=rmax_tight(mean_uni))
-        self.uni_safe = dict(self.uni, r_max=rmax_safe(mean_uni))
-        # top window: scalars are < FR_MODULUS, so the top digit is bounded by
-        # the *modulus'* top bits (plus the signed-digit carry), NOT by the
-        # full 2^(255 mod c) window range -- e.g. for c=13 only keys 0..97
-        # ever occur.  Sizing r_max from the occupied span (not the window
-        # range) is what keeps uniform scalars from overflowing the lanes.
-        max_key = min(half, (FR_MODULUS >> ((self.num_windows - 1) * c)) + 1)
-        key_hi = max_key + 1
-        repl = 1
-        while repl * 2 * key_hi <= lanes and repl < 64:
-            repl *= 2
-        mean_top = -(-self.n // max(1, max_key * repl))
-        self.top = dict(repl=repl, r_max=rmax_tight(mean_top))
-        self.top_safe = dict(self.top, r_max=rmax_safe(mean_top))
-        # hashable configs for the lru_cached jit factories
-        self._uni_key = tuple(sorted(self.uni.items()))
-        self._top_key = tuple(sorted(self.top.items()))
-        self._uni_safe_key = tuple(sorted(self.uni_safe.items()))
-        self._top_safe_key = tuple(sorted(self.top_safe.items()))
+        self.num_windows = -(-254 // c)
+        self.lanes = (1 << c) if lanes is None else lanes
+        self.chunks = []
+        for s in range(0, self.n, MAX_CHUNK):
+            e = min(s + MAX_CHUNK, self.n)
+            self.chunks.append(
+                _Chunk(x[:, s:e], y[:, s:e], inf[s:e], c, self.lanes))
         # VMEM-resident pallas sweep on TPU; jnp accumulation on CPU (Mosaic
         # kernels don't run there and interpret mode is orders slower)
         from . import pallas_kernels as pk
@@ -597,30 +592,35 @@ class MSMContext:
         scalars = [s % FR_MODULUS for s in scalars]
         if len(scalars) < self.n:
             scalars = scalars + [0] * (self.n - len(scalars))
-        digits = jnp.asarray(signed_digits_np(scalars, self.c,
-                                              self.num_windows))
 
-        def run(uni_key, top_key):
-            fn = _msm_digits_jit(self.n, self.lanes, self.c, self.num_windows,
-                                 uni_key, top_key, self._use_pallas)
-            return fn(self.tbl, self.inf, digits)
+        def run_chunk(ck, s, e, uni_key, mid_key, top_key):
+            sc = scalars[s:e] + [0] * (ck.n8 - (e - s))
+            digits = jnp.asarray(digits_np(sc, self.c, self.num_windows))
+            fn = _msm_digits_jit(ck.n8, ck.lanes, self.c, self.num_windows,
+                                 uni_key, mid_key, top_key, self._use_pallas)
+            return fn(ck.tbl, digits)
 
-        return self._finish(run, lambda: scalars)
+        return self._finish(run_chunk, lambda: scalars)
 
     def msm_vec(self, v_mont) -> "host affine point":
         """v_mont: [16, N] device Montgomery Fr limbs (N <= n).  One fused
-        dispatch: digits are extracted on device, no python-int round trip."""
-        def run(uni_key, top_key):
-            fn = _msm_vec_jit(self.n, v_mont.shape[1], self.lanes, self.c,
-                              self.num_windows, uni_key, top_key,
-                              self._use_pallas)
-            return fn(self.tbl, self.inf, v_mont)
+        dispatch per chunk: digits are extracted on device, no python-int
+        round trip."""
+        n_in = v_mont.shape[1]
+
+        def run_chunk(ck, s, e, uni_key, mid_key, top_key):
+            m = max(0, min(e, n_in) - s)
+            v = v_mont[:, s:s + m] if m else \
+                jnp.zeros((v_mont.shape[0], 0), v_mont.dtype)
+            fn = _msm_vec_jit(ck.n8, m, ck.lanes, self.c, self.num_windows,
+                              uni_key, mid_key, top_key, self._use_pallas)
+            return fn(ck.tbl, v)
 
         def fallback_scalars():
             return mont.FR.from_mont_np(np.asarray(v_mont)) + \
-                [0] * (self.n - v_mont.shape[1])
+                [0] * (self.n - n_in)
 
-        return self._finish(run, fallback_scalars)
+        return self._finish(run_chunk, fallback_scalars)
 
     def _host_fallback(self, fallback_scalars):
         from ..curve import g1_msm_host
@@ -636,16 +636,28 @@ class MSMContext:
             return res
         return g1_msm_host(self.host_points, scalars)
 
-    def _finish(self, run, fallback_scalars):
-        res, ovf, bad = run(self._uni_key, self._top_key)
-        ovf_np, bad_np, res_np = jax.device_get((ovf, bad, res))
-        if bool(ovf_np) and not bool(bad_np):
-            # a lane run exceeded the tight r_max (~2% of uniform 2^20
-            # MSMs): retry on device with the conservative padding
-            res, ovf, bad = run(self._uni_safe_key, self._top_safe_key)
+    def _finish(self, run_chunk, fallback_scalars):
+        results = []
+        for i, ck in enumerate(self.chunks):
+            s, e = i * MAX_CHUNK, i * MAX_CHUNK + ck.n
+            res, ovf, bad = run_chunk(ck, s, e, ck.uni_key, ck.mid_key,
+                                      ck.top_key)
             ovf_np, bad_np, res_np = jax.device_get((ovf, bad, res))
-        if bool(ovf_np) or bool(bad_np):
-            # degenerate add or adversarial bucket skew (structured scalar
-            # vectors) — fall back to host (correctness first)
-            return self._host_fallback(fallback_scalars)
-        return ec.to_affine_host(res_np)[0]
+            if bool(ovf_np) and not bool(bad_np):
+                # a lane run exceeded the tight r_max (~3% of uniform 2^20
+                # MSMs): retry on device with the conservative padding
+                res, ovf, bad = run_chunk(ck, s, e, ck.uni_safe_key,
+                                          ck.mid_safe_key, ck.top_safe_key)
+                ovf_np, bad_np, res_np = jax.device_get((ovf, bad, res))
+            if bool(ovf_np) or bool(bad_np):
+                # degenerate add or adversarial bucket skew (structured
+                # scalar vectors) — fall back to host (correctness first)
+                return self._host_fallback(fallback_scalars)
+            results.append(ec.to_affine_host(res_np)[0])
+        if len(results) == 1:
+            return results[0]
+        from ..curve import g1_add
+        acc = results[0]
+        for p in results[1:]:
+            acc = g1_add(acc, p)
+        return acc

@@ -7,24 +7,34 @@ intermediates to HBM, making the sweep bandwidth-bound at ~60x below VPU
 speed.  These kernels keep the bucket accumulator resident in VMEM across
 all r_max rounds, so each round costs one block read and pure VPU compute.
 
-Two kernels:
+Round-4 layout: the point table is u16-PACKED — one point = 16 u32 words
+(x limbs 2c|2c+1 in word c's lo|hi 16 bits, words 0-7; y in words 8-15;
+the infinity flag rides bit 31 of word 15, free because p < 2^254).  A
+block-transposed 8-point block is 16*8 = 128 u32 = one 128-lane tile, so
+the phase-a row gather moves exactly 64 B/point — the fastest XLA take
+shape measured on v5e (6.4 ns/row; 256 B rows cost 13.8 ns, and the
+pre-round-4 table was 256 B rows half of which was padding).  Digits are
+UNSIGNED (tpu/msm.py round-4 design), so the sweep has no negation path.
 
-  * `sweep` -- grid (lane_blocks, row_blocks), rows innermost: the
-    loop-carried Jacobian accumulator (= the bucket table) lives in VMEM
-    scratch per lane block; slot validity is computed in-kernel from two
-    per-lane scalars (start mod 8, count — see msm.py phase b), and the
-    digit sign was folded during the phase-a row gather.  The lane axis is
-    blocked because Mosaic stack-allocates the unrolled mixed-add
-    temporaries (full-width blocks measured 34.6 MiB > the 16 MiB VMEM
-    budget).
+Kernels:
+
+  * `sweep_flat` -- grid (lane_blocks, row_blocks): the loop-carried
+    Jacobian accumulator (= the bucket table) lives in VMEM scratch per
+    lane block in ec_flat's flat-limb layout (limb i of the batch in its
+    own 8-sublane vreg slice; measured 0.46 ns/(mul*elem) vs ~5 ns for
+    the planar row-sliced layout).  Slot validity is computed in-kernel
+    from two per-lane scalars (start mod 8, count — see msm.py phase b).
   * `padd` -- elementwise unchecked Jacobian add of two point vectors,
-    lane-tiled.  The bucket-reduction rolls/masks happen in XLA (pure data
-    movement), so ONE kernel variant serves the sub-lane fold and both
-    Hillis-Steele passes at every shift.
+    lane-tiled.  The bucket-reduction rolls/masks happen in XLA (pure
+    data movement), so ONE kernel variant serves the sub-lane fold and
+    both Hillis-Steele passes at every shift.
+  * `combine` -- window combine (batched doubling + tree fold).
 
-Both reuse ec.py's Jacobian formulas verbatim (jnp ops lower to Mosaic
-inside the kernel), so correctness is inherited from the host-oracle
-tests.  CPU fallback: callers keep the jnp path (see tpu/msm.py)."""
+All reuse ec.py / ec_flat.py Jacobian formulas verbatim (jnp ops lower to
+Mosaic inside the kernel), so correctness is inherited from the
+host-oracle tests.  CPU fallback: callers keep the jnp path (tpu/msm.py).
+
+Reference behavior: bellman_ce multiexp (SURVEY D1c)."""
 
 from functools import partial
 
@@ -36,16 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 from . import ec, ec_flat
 from .mont import NLIMBS
 
-# flat sweep: u32 columns of one point row (x | y limbs; the infinity and
-# digit-sign flags ride the free high bits of y limb 15, so a transposed
-# 8-point block is exactly 32*8 = 256 u32 — two 128-lane tiles)
-DATA_COLS = 32
-LB = 512                 # lanes per sweep block (8 blocks at c=13)
-
-# rows of the padded gather consumed per grid step; r_max is rounded to a
-# multiple of 8 by the caller, and Mosaic requires the block's
-# second-to-last dim to be a multiple of 8
-R_BLK = 8
+# u32 words per packed point (x|y, 16-bit limb pairs); an 8-point
+# block-transposed row is PACK_W*8 = 128 u32 = one 128-lane tile
+PACK_W = 16
+MASK16 = 0xFFFF
 
 _KERNEL_CACHE = {}
 
@@ -61,171 +65,39 @@ def _lane_block(lanes: int, cap: int = 512) -> int:
     return best or lanes
 
 
-def _sweep_body(r_steps, data_ref, meta_ref, ox_ref, oy_ref,
-                oz_ref, bad_ref, accx, accy, accz, badacc):
-    rb = pl.program_id(1)
+def _unpack_block(t):
+    """[128, lb] block-transposed packed rows -> (x, y limb lists, q_inf).
 
-    @pl.when(rb == 0)
-    def _():
-        accx[...] = jnp.zeros_like(accx)
-        accy[...] = jnp.zeros_like(accy)
-        accz[...] = jnp.zeros_like(accz)   # z == 0 encodes infinity
-        badacc[...] = jnp.zeros_like(badacc)
-
-    smod = meta_ref[0, :]                  # [lb] start mod 8
-    cnts = meta_ref[1, :]                  # [lb] run length
-    acc = (accx[...], accy[...], accz[...])
-    bad = badacc[...]
-    for j in range(R_BLK):
-        r = rb * R_BLK + j
-        x2 = data_ref[0:NLIMBS, j, :]
-        y2 = data_ref[NLIMBS:2 * NLIMBS, j, :]
-        p_inf = data_ref[2 * NLIMBS, j, :] != 0
-        # validity from arithmetic: lane l's run occupies rows
-        # smod[l] .. smod[l] + cnts[l] of its (8-aligned) slot column
-        valid = (r >= smod) & (r < smod + cnts)
-        q_inf = ~valid | p_inf
-        acc, b = ec.add_mixed_unchecked(acc, (x2, y2, q_inf))
-        bad = bad | (b & ~q_inf)[None].astype(jnp.uint32)
-    accx[...], accy[...], accz[...] = acc
-    badacc[...] = bad
-
-    @pl.when(rb == r_steps - 1)
-    def _():
-        ox_ref[...] = accx[...]
-        oy_ref[...] = accy[...]
-        oz_ref[...] = accz[...]
-        bad_ref[...] = badacc[...]
-
-
-def sweep(data, meta, *, interpret=False):
-    """data: [DATA_W, r_max_eff, lanes] gathered rows (x | y_eff | inf, see
-    msm._phase_b); meta: [2, lanes] int32 (start mod 8, count).
-    Returns bucket table (x, y, z) each [16, lanes] + bad [1, lanes] u32."""
-    data_w, r_max_eff, lanes = data.shape
-    assert r_max_eff % R_BLK == 0, r_max_eff
-    r_steps = r_max_eff // R_BLK
-    lb = _lane_block(lanes)
-    key = ("sweep", data_w, r_max_eff, lanes, lb, interpret)
-    fn = _KERNEL_CACHE.get(key)
-    if fn is None:
-        coord = jax.ShapeDtypeStruct((NLIMBS, lanes), jnp.uint32)
-        fn = jax.jit(pl.pallas_call(
-            partial(_sweep_body, r_steps),
-            grid=(lanes // lb, r_steps),
-            in_specs=[
-                pl.BlockSpec((data_w, R_BLK, lb), lambda l, r: (0, r, l)),
-                pl.BlockSpec((2, lb), lambda l, r: (0, l)),
-            ],
-            out_specs=[
-                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
-                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
-                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
-                pl.BlockSpec((1, lb), lambda l, r: (0, l)),
-            ],
-            out_shape=[coord, coord, coord,
-                       jax.ShapeDtypeStruct((1, lanes), jnp.uint32)],
-            scratch_shapes=[
-                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
-                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
-                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
-                pltpu.VMEM((1, lb), jnp.uint32),
-            ],
-            interpret=interpret,
-        ))
-        _KERNEL_CACHE[key] = fn
-    return fn(data, meta)
-
-
-def _sweep_body_tk(r_steps, data_ref, meta_ref, ox_ref, oy_ref,
-                   oz_ref, bad_ref, accx, accy, accz, badacc):
-    """Sweep over UNtransposed phase-b blocks [1, lb, 8, DATA_W]: the
-    point-major -> limb-major transpose happens here in VMEM (the XLA
-    transpose of the full [DATA_W, r_max, lanes] array was HBM-bound)."""
-    rb = pl.program_id(1)
-
-    @pl.when(rb == 0)
-    def _():
-        accx[...] = jnp.zeros_like(accx)
-        accy[...] = jnp.zeros_like(accy)
-        accz[...] = jnp.zeros_like(accz)
-        badacc[...] = jnp.zeros_like(badacc)
-
-    smod = meta_ref[0, :]
-    cnts = meta_ref[1, :]
-    blk = data_ref[0]                       # [lb, 8, DATA_W]
-    arr = jnp.transpose(blk, (2, 1, 0))     # [DATA_W, 8, lb]
-    acc = (accx[...], accy[...], accz[...])
-    bad = badacc[...]
-    for j in range(R_BLK):
-        r = rb * R_BLK + j
-        x2 = arr[0:NLIMBS, j, :]
-        y2 = arr[NLIMBS:2 * NLIMBS, j, :]
-        p_inf = arr[2 * NLIMBS, j, :] != 0
-        valid = (r >= smod) & (r < smod + cnts)
-        q_inf = ~valid | p_inf
-        acc, b = ec.add_mixed_unchecked(acc, (x2, y2, q_inf))
-        bad = bad | (b & ~q_inf)[None].astype(jnp.uint32)
-    accx[...], accy[...], accz[...] = acc
-    badacc[...] = bad
-
-    @pl.when(rb == r_steps - 1)
-    def _():
-        ox_ref[...] = accx[...]
-        oy_ref[...] = accy[...]
-        oz_ref[...] = accz[...]
-        bad_ref[...] = badacc[...]
-
-
-def sweep_tk(blk4, meta, *, interpret=False):
-    """Like `sweep` but takes the phase-b gather output in its native
-    [RB, lanes, 8, DATA_W] layout and transposes per-block in VMEM."""
-    rb_n, lanes, eight, data_w = blk4.shape
-    assert eight == R_BLK
-    lb = _lane_block(lanes)
-    key = ("sweep_tk", data_w, rb_n, lanes, lb, interpret)
-    fn = _KERNEL_CACHE.get(key)
-    if fn is None:
-        coord = jax.ShapeDtypeStruct((NLIMBS, lanes), jnp.uint32)
-        fn = jax.jit(pl.pallas_call(
-            partial(_sweep_body_tk, rb_n),
-            grid=(lanes // lb, rb_n),
-            in_specs=[
-                pl.BlockSpec((1, lb, R_BLK, data_w),
-                             lambda l, r: (r, l, 0, 0)),
-                pl.BlockSpec((2, lb), lambda l, r: (0, l)),
-            ],
-            out_specs=[
-                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
-                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
-                pl.BlockSpec((NLIMBS, lb), lambda l, r: (0, l)),
-                pl.BlockSpec((1, lb), lambda l, r: (0, l)),
-            ],
-            out_shape=[coord, coord, coord,
-                       jax.ShapeDtypeStruct((1, lanes), jnp.uint32)],
-            scratch_shapes=[
-                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
-                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
-                pltpu.VMEM((NLIMBS, lb), jnp.uint32),
-                pltpu.VMEM((1, lb), jnp.uint32),
-            ],
-            interpret=interpret,
-        ))
-        _KERNEL_CACHE[key] = fn
-    return fn(blk4, meta)
+    Row c*8 + j of t holds packed word c of the block's j-th point, so the
+    8-sublane slice t[8c:8c+8] is word c across the 8 sub-points; limbs
+    2c / 2c+1 are its lo/hi 16 bits.  The infinity flag is bit 31 of word
+    15 (p < 2^254 leaves the top two bits of limb 15 free)."""
+    words = [t[8 * c:8 * (c + 1), :] for c in range(PACK_W)]
+    x2 = []
+    y2 = []
+    for c in range(8):
+        x2.append(words[c] & MASK16)
+        x2.append(words[c] >> 16)
+    for c in range(8, 15):
+        y2.append(words[c] & MASK16)
+        y2.append(words[c] >> 16)
+    y2.append(words[15] & MASK16)
+    top = words[15] >> 16
+    q_inf = (top >> 15) != 0
+    y2.append(top & 0x3FFF)
+    return x2, y2, q_inf
 
 
 def _sweep_flat_body(r_steps, data_ref, meta_ref, ox_ref, oy_ref, oz_ref,
                      bad_ref, accx, accy, accz, badacc):
     """Flat-limb bucket sweep with j-sublane sub-accumulators.
 
-    data block [1, 1, lb, 256]: lb lanes x one block-transposed 8-point
-    block (row-after-transpose i*8 + j: limb i of the block's j-th point;
-    flags ride y limb 15's high bits).  The 8 points land on 8 sublanes:
-    sublane s accumulates the lane's points with within-block offset s —
-    ONE batched mixed-add per grid step covers 8 points/lane at full VPU
-    width with no data relayout (the [lb, 256] -> [256, lb] transpose is
-    VMEM-local).  Sub-accumulators fold 8 -> 1 in-kernel at the last step.
+    data block [1, 1, lb, 128]: lb lanes x one block-transposed packed
+    8-point block.  The 8 points land on 8 sublanes: sublane s accumulates
+    the lane's points with within-block offset s — ONE batched mixed-add
+    per grid step covers 8 points/lane at full VPU width with no data
+    relayout (the [lb, 128] -> [128, lb] transpose is VMEM-local).
+    Sub-accumulators fold 8 -> 1 in-kernel at the last step.
     meta block [1, 2, lb] int32 (start mod 8, count)."""
     rb = pl.program_id(1)
 
@@ -237,20 +109,15 @@ def _sweep_flat_body(r_steps, data_ref, meta_ref, ox_ref, oy_ref, oz_ref,
         badacc[...] = jnp.zeros_like(badacc)
 
     lb = accx.shape[1]
-    t = jnp.transpose(data_ref[0, 0])            # [256, lb], rows i*8 + j
+    t = jnp.transpose(data_ref[0, 0])            # [128, lb], rows c*8 + j
     smod = meta_ref[0, 0, :]
     cnts = meta_ref[0, 1, :]
     jidx = jax.lax.broadcasted_iota(jnp.int32, (8, lb), 0)
     r_point = rb * 8 + jidx
     valid = (r_point >= smod[None]) & (r_point < smod[None] + cnts[None])
 
-    x2 = [t[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
-    y2 = [t[8 * (NLIMBS + i):8 * (NLIMBS + i) + 8, :] for i in range(NLIMBS)]
-    flag = y2[NLIMBS - 1] >> 16
-    y2[NLIMBS - 1] = y2[NLIMBS - 1] & 0xFFFF
-    q_inf = ~valid | ((flag & 1) != 0)
-    sign = (flag & 2) != 0
-    y2 = ec_flat.f_select(sign, ec_flat.f_neg(y2), y2)
+    x2, y2, p_inf = _unpack_block(t)
+    q_inf = ~valid | p_inf
 
     ax = [accx[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
     ay = [accy[8 * i:8 * (i + 1), :] for i in range(NLIMBS)]
@@ -297,12 +164,13 @@ def _sweep_flat_body(r_steps, data_ref, meta_ref, ox_ref, oy_ref, oz_ref,
 
 
 def sweep_flat(data, meta_flat, *, interpret=False):
-    """Flat-limb sweep.  data: [r_steps, nblk, lb, 256] block-transposed
-    8-point blocks (msm._phase_b_flat); meta_flat: [nblk, 2, lb] int32.
-    Returns (x, y, z [nblk, 16, lb] u32, bad [nblk, 1, lb]); planar
-    [16, lanes] is one small transpose away (lane = blk*lb + col)."""
+    """Flat-limb sweep over packed rows.  data: [r_steps, nblk, lb, 128]
+    block-transposed packed 8-point blocks (msm._phase_b_flat); meta_flat:
+    [nblk, 2, lb] int32.  Returns (x, y, z [nblk, 16, lb] u32, bad
+    [nblk, 1, lb]); planar [16, lanes] is one small transpose away
+    (lane = blk*lb + col)."""
     r_steps, nblk, lb, cols = data.shape
-    assert cols == DATA_COLS * 8
+    assert cols == PACK_W * 8
     key = ("sweep_flat", r_steps, nblk, lb, interpret)
     fn = _KERNEL_CACHE.get(key)
     if fn is None:

@@ -1,11 +1,17 @@
 #!/usr/bin/env python3
-"""Full prove wall-time benchmark on a synthetic circuit of ~2^k constraints
-(the BASELINE.md "full prove wall-time" metric).
+"""Full prove wall-time benchmark (the BASELINE.md "full prove wall-time"
+metric; reference e2e workload: test/test_poseidon_plonk.sh — Poseidon at a
+2^20 SRS).
 
-Generates a multiplication-chain circuit (z_{i+1} = z_i^2 + z_i), dev SRS on
-device, then times SetupForProver.prove end to end (plus a breakdown).
+Default circuit: a synthetic multiplication chain (z_{i+1} = z_i^2 + z_i).
+With --poseidon, the flagship circomlib-parameter Poseidon hash chain
+(frontend/poseidon.py) is sized so its transpiled gate count fills the 2^k
+domain — the direct analogue of the reference's poseidon integration
+circuit.  Dev SRS is generated on device, then SetupForProver.prove is
+timed end to end (cold + warm) with a stage breakdown.
 
-Usage: python scripts/bench_prove.py [log2_constraints] [--backend host|jax]
+Usage: python scripts/bench_prove.py [log2_domain] [--poseidon]
+                                     [--backend host|jax]
 """
 
 import os
@@ -38,18 +44,49 @@ def synth_circuit(k: int):
     return CircomCircuit(r1cs=r1cs, witness=[1] + wires)
 
 
+def poseidon_chain_circuit(k: int):
+    """Poseidon hash-chain circuit whose transpiled gate count fills the
+    2^k domain (reference workload: test/test_poseidon_plonk.sh proves the
+    circomlib Poseidon circuit against a 2^20 SRS).  Gate count is linear
+    in the chain length, so two small transpiles calibrate the slope."""
+    from plonkit_tpu.api import analyse
+    from plonkit_tpu.frontend.poseidon import poseidon_circuit
+
+    g1 = analyse(poseidon_circuit(2, chain=1)[0]).num_gates
+    g2 = analyse(poseidon_circuit(2, chain=2)[0]).num_gates
+    dg = g2 - g1
+    # domain rows available: 2^k - 1 usable (n = 2^k - 1), keep slack for
+    # the padding gates the setup appends
+    if g1 > (1 << k) - 16:
+        raise SystemExit(f"--poseidon needs k >= 12 (one hash = {g1} gates)")
+    chain = max(1, (((1 << k) - 16) - g1) // dg + 1)
+    t0 = time.time()
+    circ, _ = poseidon_circuit(2, chain=chain)
+    print(f"poseidon chain={chain} built in {time.time()-t0:.1f}s "
+          f"(~{g1 + (chain-1)*dg} gates)", file=sys.stderr)
+    return circ
+
+
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+    argv = list(sys.argv[1:])
     backend_name = "jax"
-    if "--backend" in sys.argv:
-        backend_name = sys.argv[sys.argv.index("--backend") + 1]
+    if "--backend" in argv:
+        i = argv.index("--backend")
+        backend_name = argv[i + 1]
+        del argv[i:i + 2]
+    use_poseidon = "--poseidon" in argv
+    args = [a for a in argv if not a.startswith("--")]
+    k = int(args[0]) if args else 14
 
     import jax
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     t0 = time.time()
-    circuit = synth_circuit(k)
-    print(f"synth circuit 2^{k}: {time.time()-t0:.1f}s "
+    if use_poseidon:
+        circuit = poseidon_chain_circuit(k)
+    else:
+        circuit = synth_circuit(k)
+    print(f"circuit 2^{k}: {time.time()-t0:.1f}s "
           f"({len(circuit.r1cs.constraints)} constraints)", file=sys.stderr)
 
     # dev SRS on device (tau=42)
@@ -96,6 +133,7 @@ def main():
         "value": round(t_warm, 2),
         "unit": "s",
         "backend": backend.name,
+        "circuit": "poseidon" if use_poseidon else "synthetic",
     }))
 
 

@@ -13,8 +13,7 @@ import pytest
 from plonkit_tpu.curve import G1_GEN, g1_mul
 from plonkit_tpu.fields import FR_MODULUS as R
 from plonkit_tpu.tpu import ec
-from plonkit_tpu.tpu.msm import (_window_kernel, _window_pallas,
-                                 signed_digits_np)
+from plonkit_tpu.tpu.msm import _window_kernel, _window_pallas, digits_np
 
 
 def _setup(n, c, seed=3):
@@ -22,8 +21,8 @@ def _setup(n, c, seed=3):
     points = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
     scalars = [rng.randrange(R) for _ in range(n)]
     x, y, inf = ec.affine_from_host(points)
-    W = -(-255 // c)
-    digits = signed_digits_np(scalars, c, W)
+    W = -(-254 // c)
+    digits = digits_np(scalars, c, W)
     return x, y, inf, digits, W
 
 
@@ -42,7 +41,7 @@ def _compare(x, y, inf, d, cfg):
 def test_window_pallas_matches_jnp_kernel():
     n, c = 64, 4
     x, y, inf, digits, W = _setup(n, c)
-    cfg = dict(n=n, lanes=128, r_max=16, repl=1, num_buckets=9)
+    cfg = dict(n=n, lanes=128, r_max=24, repl=1)
     _compare(x, y, inf, jnp.asarray(digits[1]), cfg)
 
 
@@ -51,5 +50,5 @@ def test_window_pallas_top_window_repl():
     n, c = 64, 4
     x, y, inf, digits, W = _setup(n, c, seed=9)
     # top-window config with sub-lane replication; same sweep/padd variants
-    cfg = dict(n=n, lanes=128, r_max=16, repl=4, num_buckets=5)
+    cfg = dict(n=n, lanes=128, r_max=24, repl=4)
     _compare(x, y, inf, jnp.asarray(digits[W - 1]), cfg)

@@ -23,7 +23,7 @@ def test_distributed_msm_matches_host_oracle():
     points = _bases(n)
     scalars = [rng.randrange(R) for _ in range(n)]
     mesh = make_mesh(8)
-    ctx = DistributedMSMContext(mesh, points, c=13)
+    ctx = DistributedMSMContext(mesh, points, c=8)
     got = ctx.msm(scalars)
     want = g1_msm_host(points, scalars)
     assert got == want
@@ -38,7 +38,7 @@ def test_distributed_msm_unpadded_and_sparse():
     points = _bases(n, seed=7)
     scalars = [rng.randrange(2) for _ in range(n)]  # 0/1 selector-style
     mesh = make_mesh(8)
-    ctx = DistributedMSMContext(mesh, points, c=13)
+    ctx = DistributedMSMContext(mesh, points, c=8)
     got = ctx.msm(scalars)
     want = g1_msm_host(points, scalars)
     assert got == want
