@@ -1,0 +1,208 @@
+"""franklin-crypto's Bn256 rescue parameter generation, recovered.
+
+The reference proves with `-t rescue` using
+`Bn256RescueParams::new_checked_2_into_1()` (reference:
+/root/reference/src/plonk.rs:212-218; franklin-crypto pin rev `942368f`,
+Cargo.lock:645-670).  The crate's sources are not present in this image,
+so this module re-implements the *generation procedure* that function
+runs, which franklin-crypto inherited from matter-labs' sapling-crypto
+fork (the same machinery generates their Poseidon parameters):
+
+  parameters: state width 3 (capacity c=1, rate r=2), 22 rounds,
+  security level 126, S-boxes x^{1/5} (even rounds) / x^5 (odd rounds).
+
+  round constants — Blake2s counter hash:
+    tag = b"Rescue_f" (Blake2s personalization), message =
+    GH_FIRST_BLOCK || BE32(nonce).  GH_FIRST_BLOCK is sapling-crypto's
+    64-byte ASCII-hex rigidity string (the hash of a Bitcoin block chosen
+    after the design was fixed).  Each digest is read as a
+    LITTLE-ENDIAN 256-bit integer and accepted iff it is a valid
+    non-zero canonical Fr element; the nonce increments every attempt.
+    (1 + 2*rounds) * state_width = 135 constants are drawn.
+
+  MDS matrix — Cauchy construction from a seeded CSPRNG:
+    seed = Blake2s(person=b"ResM0003", msg=GH_FIRST_BLOCK) read as eight
+    BIG-ENDIAN u32 words ("ResM0003" is the first tag in the ResMxxxx
+    sequence whose matrix has no eigenvalues); the words seed rand 0.4's
+    ChaChaRng (20 rounds, 128-bit block counter, next_u64 = hi<<32 | lo).
+    x_0..x_2, y_0..y_2 are drawn via pairing_ce's `Fr::rand`: four u64
+    limbs (least-significant first), the top two bits of limb 3 shaved
+    (REPR_SHAVE_BITS for the 254-bit field), resampled until the raw
+    repr is below the modulus — the accepted bit pattern IS the
+    *Montgomery* representation, so the field value is repr * 2^-256
+    mod p.  After distinctness checks, m[i][j] = 1 / (x_i + y_j).
+
+Every derived constant is pinned in tests/test_rescue.py as anchors.
+No rescue-transcript artifact from the reference exists in this image
+(test/ carries keccak proofs only), so the recovery is validated by
+procedure + anchor pinning rather than against an upstream vector; the
+procedure above is the complete generation path and is deterministic.
+"""
+
+from hashlib import blake2s
+from typing import List
+
+from ..fields import FR_MODULUS as R
+
+# sapling-crypto constants.rs: first 64 bytes of the BLAKE2s input during
+# group hash — an ASCII hex string fixed for rigidity
+GH_FIRST_BLOCK = (
+    b"096b36a5804bfacef1691e173c366a47ff5ba84a44f26ddd7e8d9f79d5b42df0")
+
+STATE_WIDTH = 3       # c=1 capacity + r=2 rate
+RATE = 2
+CAPACITY = 1
+NUM_ROUNDS = 22
+SECURITY_LEVEL = 126
+ALPHA = 5
+ALPHA_INV = pow(ALPHA, -1, R - 1)
+
+# Montgomery R for pairing_ce's 4x64 Fr representation
+_R_MONT = (1 << 256) % R
+_R_MONT_INV = pow(_R_MONT, -1, R)
+_REPR_SHAVE_BITS = 2  # 256 - 254
+
+
+def _blake(tag: bytes, msg: bytes) -> bytes:
+    """sapling-crypto BlakeHasher: Blake2s-256, personalization = tag."""
+    h = blake2s(digest_size=32, person=tag)
+    h.update(msg)
+    return h.digest()
+
+
+def generate_round_constants(tag: bytes = b"Rescue_f",
+                             count: int = (1 + 2 * NUM_ROUNDS) * STATE_WIDTH
+                             ) -> List[List[int]]:
+    """Blake2s counter-mode constants: digest(GH_FIRST_BLOCK || BE32(nonce))
+    read little-endian, accepted iff a valid non-zero canonical Fr."""
+    constants = []
+    nonce = 0
+    while len(constants) < count:
+        d = _blake(tag, GH_FIRST_BLOCK + nonce.to_bytes(4, "big"))
+        v = int.from_bytes(d, "little")
+        if 0 < v < R:
+            constants.append(v)
+        nonce += 1
+    return [constants[i * STATE_WIDTH:(i + 1) * STATE_WIDTH]
+            for i in range(count // STATE_WIDTH)]
+
+
+class ChaChaRng:
+    """rand 0.4's ChaChaRng: 20 rounds, seeded from [u32; 8] key words,
+    output words consumed in block order, 128-bit block counter."""
+
+    def __init__(self, seed_words):
+        self.state = [0x61707865, 0x3320646E, 0x79622D32, 0x6B206574]
+        key = list(seed_words) + [0] * (8 - len(seed_words))
+        self.state += [w & 0xFFFFFFFF for w in key]
+        self.state += [0, 0, 0, 0]
+        self.buffer = []
+        self.index = 16
+
+    @staticmethod
+    def _quarter(s, a, b, c, d):
+        s[a] = (s[a] + s[b]) & 0xFFFFFFFF
+        s[d] ^= s[a]
+        s[d] = ((s[d] << 16) | (s[d] >> 16)) & 0xFFFFFFFF
+        s[c] = (s[c] + s[d]) & 0xFFFFFFFF
+        s[b] ^= s[c]
+        s[b] = ((s[b] << 12) | (s[b] >> 20)) & 0xFFFFFFFF
+        s[a] = (s[a] + s[b]) & 0xFFFFFFFF
+        s[d] ^= s[a]
+        s[d] = ((s[d] << 8) | (s[d] >> 24)) & 0xFFFFFFFF
+        s[c] = (s[c] + s[d]) & 0xFFFFFFFF
+        s[b] ^= s[c]
+        s[b] = ((s[b] << 7) | (s[b] >> 25)) & 0xFFFFFFFF
+
+    def _update(self):
+        x = list(self.state)
+        for _ in range(10):  # 20 rounds = 10 double rounds
+            self._quarter(x, 0, 4, 8, 12)
+            self._quarter(x, 1, 5, 9, 13)
+            self._quarter(x, 2, 6, 10, 14)
+            self._quarter(x, 3, 7, 11, 15)
+            self._quarter(x, 0, 5, 10, 15)
+            self._quarter(x, 1, 6, 11, 12)
+            self._quarter(x, 2, 7, 8, 13)
+            self._quarter(x, 3, 4, 9, 14)
+        self.buffer = [(a + b) & 0xFFFFFFFF for a, b in zip(x, self.state)]
+        self.index = 0
+        # 128-bit block counter over words 12..16
+        for i in range(12, 16):
+            self.state[i] = (self.state[i] + 1) & 0xFFFFFFFF
+            if self.state[i] != 0:
+                break
+
+    def next_u32(self) -> int:
+        if self.index == 16:
+            self._update()
+        v = self.buffer[self.index]
+        self.index += 1
+        return v
+
+    def next_u64(self) -> int:
+        # rand 0.4 default: first draw is the HIGH half
+        hi = self.next_u32()
+        return (hi << 32) | self.next_u32()
+
+
+def fr_rand(rng: ChaChaRng) -> int:
+    """pairing_ce `Fr::rand`: sample 4 LE u64 limbs, shave the top
+    REPR_SHAVE_BITS of limb 3, retry until repr < modulus.  The accepted
+    repr is the MONTGOMERY form, so the value is repr * 2^-256 mod p."""
+    while True:
+        limbs = [rng.next_u64() for _ in range(4)]
+        limbs[3] &= ((1 << 64) - 1) >> _REPR_SHAVE_BITS
+        repr_int = sum(l << (64 * i) for i, l in enumerate(limbs))
+        if repr_int < R:
+            return (repr_int * _R_MONT_INV) % R
+
+
+def generate_mds_matrix(tag: bytes = b"ResM0003",
+                        t: int = STATE_WIDTH) -> List[List[int]]:
+    """Cauchy MDS from the ChaCha stream: m[i][j] = 1/(x_i + y_j)."""
+    d = _blake(tag, GH_FIRST_BLOCK)
+    seed = [int.from_bytes(d[4 * i:4 * i + 4], "big") for i in range(8)]
+    rng = ChaChaRng(seed)
+    while True:
+        xs = [fr_rand(rng) for _ in range(t)]
+        ys = [fr_rand(rng) for _ in range(t)]
+        ok = len(set(xs)) == t and len(set(ys)) == t \
+            and not (set(xs) & set(ys)) \
+            and all((x + y) % R != 0 for x in xs for y in ys)
+        if ok:
+            return [[pow((x + y) % R, -1, R) for y in ys] for x in xs]
+
+
+ROUND_CONSTANTS = generate_round_constants()
+MDS = generate_mds_matrix()
+
+
+def rescue_mimc(state):
+    """franklin-crypto `rescue_mimc`: add constants 0; then 2*rounds of
+    (S-box — x^{1/5} on even rounds, x^5 on odd —, MDS, add constants)."""
+    s = [(x + c) % R for x, c in zip(state, ROUND_CONSTANTS[0])]
+    for rnd in range(2 * NUM_ROUNDS):
+        power = ALPHA_INV if rnd % 2 == 0 else ALPHA
+        s = [pow(x, power, R) for x in s]
+        s = [sum(MDS[i][j] * s[j] for j in range(STATE_WIDTH)) % R
+             for i in range(STATE_WIDTH)]
+        s = [(x + c) % R for x, c in zip(s, ROUND_CONSTANTS[rnd + 1])]
+    return s
+
+
+def rescue_hash(inputs) -> int:
+    """franklin-crypto `rescue_hash` (sponge_fixed_length): the capacity
+    element is specialized to the input length, partial blocks pad with
+    ones, output is the first state element."""
+    assert 0 < len(inputs) < 256
+    state = [0] * STATE_WIDTH
+    state[STATE_WIDTH - 1] = len(inputs)
+    buf = [x % R for x in inputs]
+    while len(buf) % RATE:
+        buf.append(1)
+    for i in range(0, len(buf), RATE):
+        for j in range(RATE):
+            state[j] = (state[j] + buf[i + j]) % R
+        state = rescue_mimc(state)
+    return state[0]

@@ -1,91 +1,55 @@
 """Rescue algebraic hash over BN254 Fr (sponge, 2-into-1), the in-circuit-
 cheap hash the reference uses for its vk Merkle tree and rescue transcript
-(franklin-crypto Bn256RescueParams::new_checked_2_into_1, SURVEY D2a).
+(franklin-crypto Bn256RescueParams::new_checked_2_into_1, SURVEY D2a;
+reference: /root/reference/src/plonk.rs:212-218).
 
 Shape parity with the reference: state width 3 (rate 2 + capacity 1),
-22 rounds, S-box x^5 and its inverse power.  Round constants and the MDS
-matrix are generated here by a deterministic keccak-counter procedure
-(seeded with a domain tag); franklin-crypto generates its constants with its
-own CSPRNG procedure, so hashes are NOT bit-compatible with the reference's
-rescue yet -- recovering that generation procedure is tracked follow-up
-work for the recursive stack.  Everything downstream (vk tree, rescue
-transcript) is parameterized over this module so swapping constants is a
-one-line change.
+22 rounds, S-box x^{1/5} on even rounds / x^5 on odd rounds.  Round
+constants and the MDS matrix come from recursive/franklin.py, which
+re-implements franklin-crypto's deterministic generation procedure
+(Blake2s counter constants over GH_FIRST_BLOCK; ChaCha-seeded Cauchy MDS
+from the b"ResM0003" tag) — see that module's docstring for the exact
+recovered algorithm and its validation status.  The fixed-length hash
+specializes the capacity element to the input length and pads partial
+blocks with ones, exactly like franklin's `sponge_fixed_length`.
+
+Everything downstream (vk tree, rescue transcript, the in-circuit gadget)
+is parameterized over this module's constants, so host- and
+circuit-derived values always agree.
 """
 
 from typing import List, Sequence
 
 from ..fields import FR_MODULUS as R
-from ..keccak import keccak256
+from .franklin import (ALPHA, ALPHA_INV, CAPACITY, MDS, NUM_ROUNDS, RATE,
+                       ROUND_CONSTANTS, STATE_WIDTH)
+from .franklin import rescue_hash as _franklin_hash
+from .franklin import rescue_mimc as _franklin_mimc
 
-STATE_WIDTH = 3
-RATE = 2
-CAPACITY = 1
-NUM_ROUNDS = 22
-ALPHA = 5
-# x^5 is a permutation of Fr since gcd(5, r-1) = 1
-ALPHA_INV = pow(ALPHA, -1, R - 1)
-
-
-def _field_stream(tag: bytes):
-    """Deterministic Fr elements via keccak counter mode (rejection-free:
-    mask to 253 bits like the transcript does)."""
-    counter = 0
-    while True:
-        digest = keccak256(tag + counter.to_bytes(8, "big"))
-        yield int.from_bytes(digest, "big") & ((1 << 253) - 1)
-        counter += 1
-
-
-def _generate_constants():
-    stream = _field_stream(b"plonkit-tpu/rescue/round-constants/v1")
-    round_constants = [
-        [next(stream) for _ in range(STATE_WIDTH)] for _ in range(2 * NUM_ROUNDS + 1)
-    ]
-    # Cauchy MDS matrix m[i][j] = 1/(x_i - y_j) with distinct x, y
-    xs = [i for i in range(STATE_WIDTH)]
-    ys = [STATE_WIDTH + i for i in range(STATE_WIDTH)]
-    mds = [[pow((x - y) % R, -1, R) for y in ys] for x in xs]
-    return round_constants, mds
-
-
-ROUND_CONSTANTS, MDS = _generate_constants()
-
-
-def _mds_mul(state: List[int]) -> List[int]:
-    return [sum(MDS[i][j] * state[j] for j in range(STATE_WIDTH)) % R
-            for i in range(STATE_WIDTH)]
+__all__ = [
+    "STATE_WIDTH", "RATE", "CAPACITY", "NUM_ROUNDS", "ALPHA", "ALPHA_INV",
+    "ROUND_CONSTANTS", "MDS", "rescue_permutation", "rescue_hash",
+    "RescueTranscript",
+]
 
 
 def rescue_permutation(state: Sequence[int]) -> List[int]:
-    s = [x % R for x in state]
-    s = [(x + c) % R for x, c in zip(s, ROUND_CONSTANTS[0])]
-    for rnd in range(2 * NUM_ROUNDS):
-        power = ALPHA_INV if rnd % 2 == 0 else ALPHA
-        s = [pow(x, power, R) for x in s]
-        s = _mds_mul(s)
-        s = [(x + c) % R for x, c in zip(s, ROUND_CONSTANTS[rnd + 1])]
-    return s
+    """franklin-crypto `rescue_mimc` on a width-3 state."""
+    return _franklin_mimc([x % R for x in state])
 
 
 def rescue_hash(inputs: Sequence[int]) -> int:
-    """Sponge with rate 2: absorb pairs, squeeze one element (2-into-1 for
-    two inputs -- the Merkle-tree compression shape)."""
-    state = [0] * STATE_WIDTH
-    buf = [x % R for x in inputs]
-    if len(buf) % RATE:
-        buf.append(1)  # pad marker
-    for i in range(0, len(buf), RATE):
-        for j in range(RATE):
-            state[j] = (state[j] + buf[i + j]) % R
-        state = rescue_permutation(state)
-    return state[0]
+    """Fixed-length sponge (franklin `rescue_hash`): capacity element
+    specialized to the input length, ones padding, output state[0]."""
+    return _franklin_hash(inputs)
 
 
 class RescueTranscript:
     """Algebraic Fiat-Shamir transcript (shape of franklin-crypto's
     RescueTranscriptForRNS): absorbs Fr elements and G1 points (as RNS limb
-    chunks), squeezes challenges by permuting the sponge state."""
+    chunks), squeezes challenges by permuting the sponge state.  Buffered
+    absorbs flush in rate-sized blocks with ones padding (StatefulRescue's
+    pad_if_necessary)."""
 
     def __init__(self):
         self.state = [0] * STATE_WIDTH

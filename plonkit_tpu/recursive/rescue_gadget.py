@@ -53,8 +53,10 @@ def rescue_permutation_gadget(cs: CsBuilder, state: List[Num]) -> List[Num]:
 
 
 def rescue_hash_gadget(cs: CsBuilder, inputs: List[Num]) -> Num:
-    """Sponge with rate 2, mirroring rescue.rescue_hash."""
-    state = [cs.zero] * STATE_WIDTH
+    """Fixed-length sponge mirroring rescue.rescue_hash (franklin
+    `sponge_fixed_length`): capacity element = input length, ones pad."""
+    length = cs.lc([(cs.one, len(inputs))])
+    state = [cs.zero] * (STATE_WIDTH - 1) + [length]
     buf = list(inputs)
     if len(buf) % RATE:
         buf.append(cs.one)  # pad marker

@@ -82,7 +82,7 @@ def render_recursive_verification_key(old_vk, new_vk, num_individual_inputs: int
     verifier (plonk/extended.py protocol) plus the on-chain aggregate
     reconstruction + rescue public-input recomputation
     (recursive/aggregation.py::verify_aggregation mirror)."""
-    from .recursive.rescue import ALPHA_INV, MDS
+    from .recursive.rescue import ALPHA_INV, MDS, ROUND_CONSTANTS
 
     def pt(p):
         if p is None:
@@ -94,6 +94,9 @@ def render_recursive_verification_key(old_vk, new_vk, num_individual_inputs: int
         "omega": str(get_domain_omega(new_vk.domain_size)),
         "individual_inputs": str(num_individual_inputs),
         "rescue_alpha_inv": str(ALPHA_INV),
+        "rescue_round_constants_body": "\n".join(
+            f"        rc[{i}][{j}] = {ROUND_CONSTANTS[i][j]};"
+            for i in range(len(ROUND_CONSTANTS)) for j in range(3)),
     }
     for i, c in enumerate(new_vk.selector_commitments):
         ph[f"selector_commitment_{i}_0"], ph[f"selector_commitment_{i}_1"] = pt(c)

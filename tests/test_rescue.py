@@ -1,0 +1,95 @@
+"""Anchors for the recovered franklin-crypto rescue parameter generation
+(recursive/franklin.py; reference: Bn256RescueParams::new_checked_2_into_1,
+/root/reference/src/plonk.rs:212-218).
+
+The anchors pin the deterministic output of the recovered procedure
+(Blake2s counter constants, ChaCha-seeded Cauchy MDS) so any drift in the
+generation code is caught; see franklin.py's docstring for the procedure
+and its validation status (no upstream rescue artifact exists in this
+image to diff against)."""
+
+from plonkit_tpu.fields import FR_MODULUS as R
+from plonkit_tpu.recursive import franklin as F
+
+
+def test_parameters_shape():
+    assert F.STATE_WIDTH == 3 and F.RATE == 2 and F.CAPACITY == 1
+    assert F.NUM_ROUNDS == 22
+    assert len(F.ROUND_CONSTANTS) == 45
+    assert all(len(row) == 3 for row in F.ROUND_CONSTANTS)
+    assert (F.ALPHA * F.ALPHA_INV) % (R - 1) == 1
+
+
+def test_round_constant_anchors():
+    # first Blake2s(person=b"Rescue_f") digest over GH_FIRST_BLOCK||BE32(0)
+    # that is a valid non-zero Fr, little-endian
+    assert F.ROUND_CONSTANTS[0][0] == int(
+        "0x2e827c42545887ff44c8e94bc429a6b9fba992c691596d3e97216a720f7b48ac",
+        16)
+    assert F.ROUND_CONSTANTS[44][2] < R
+    assert all(0 < c < R for row in F.ROUND_CONSTANTS for c in row)
+    # constants are pairwise distinct (collision would indicate a broken
+    # counter stream)
+    flat = [c for row in F.ROUND_CONSTANTS for c in row]
+    assert len(set(flat)) == len(flat)
+
+
+def test_mds_anchor_and_structure():
+    assert F.MDS[0][0] == int(
+        "0x18dcaf33afeb867582908dbd80e6fb7275958a949f1b1720efe8f762c8d88c2e",
+        16)
+    # Cauchy structure: m[i][j] = 1/(x_i + y_j) -> all entries invertible
+    # and pairwise distinct rows
+    for row in F.MDS:
+        for v in row:
+            assert 0 < v < R
+            pow(v, -1, R)  # must not raise
+
+
+def test_chacha_rand04_semantics():
+    """rand 0.4 ChaChaRng: 20 rounds, all-zero key's first block must match
+    the RFC7539-style chacha20 block with zero counter/nonce (the classic
+    published all-zero test vector's first word)."""
+    rng = F.ChaChaRng([0] * 8)
+    first = rng.next_u32()
+    # chacha20 keystream block 0 for zero key/nonce begins 76 b8 e0 ad
+    # (bytes) = 0xade0b876 as a LE u32 word
+    assert first == 0xADE0B876
+    # next_u64 takes the HIGH half first (rand 0.4 default)
+    rng2 = F.ChaChaRng([0] * 8)
+    hi = rng2.next_u32()
+    lo = rng2.next_u32()
+    rng3 = F.ChaChaRng([0] * 8)
+    assert rng3.next_u64() == (hi << 32) | lo
+
+
+def test_fr_rand_montgomery_interpretation():
+    """Fr::rand accepts the raw repr as the MONTGOMERY form: value must be
+    repr * 2^-256 mod p."""
+    class FakeRng:
+        def __init__(self, limbs):
+            self.limbs = list(limbs)
+        def next_u64(self):
+            return self.limbs.pop(0)
+
+    repr_int = 12345
+    v = F.fr_rand(FakeRng([12345, 0, 0, 0]))
+    assert v == (repr_int * pow(1 << 256, -1, R)) % R
+
+
+def test_fixed_length_sponge_semantics():
+    """sponge_fixed_length: capacity = input length, ones padding."""
+    h2 = F.rescue_hash([7, 9])
+    # equivalent manual absorb
+    state = [0, 0, 2]
+    state[0] = (state[0] + 7) % R
+    state[1] = (state[1] + 9) % R
+    state = F.rescue_mimc(state)
+    assert h2 == state[0]
+    # odd-length input pads with a one, capacity starts at 1
+    h1 = F.rescue_hash([7])
+    state = [7, 1, 1]
+    state = F.rescue_mimc(state)
+    assert h1 == state[0]
+    # length-specialization separates same-prefix inputs
+    assert F.rescue_hash([7, 1]) != F.rescue_hash([7])

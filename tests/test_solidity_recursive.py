@@ -3,7 +3,6 @@ rescue-constant derivation equivalence (no solc in this image, so the
 contract is validated by construction against verifier2/aggregation
 semantics; the math sections mirror plonk/extended.py line for line)."""
 
-from plonkit_tpu.keccak import keccak256
 from plonkit_tpu.recursive.rescue import ALPHA_INV, MDS, ROUND_CONSTANTS
 from plonkit_tpu.solidity import render_recursive_verification_key
 
@@ -34,15 +33,14 @@ def test_render_recursive_contract(srs):
     assert str(x) in sol and str(y) in sol
 
 
-def test_onchain_rescue_constant_derivation_matches_host():
-    """The contract derives round constants as
-    keccak256(abi.encodePacked(tag, uint64(counter))) & FR_MASK -- byte-for-
-    byte the host _field_stream."""
-    tag = b"plonkit-tpu/rescue/round-constants/v1"
-    counter = 0
+def test_onchain_rescue_constants_embedded(srs):
+    """The contract bakes the franklin-derived round constants as literals
+    (the Blake2s/ChaCha generation has no EVM builtin): every one of the
+    45x3 constants must appear verbatim, and the sponge must specialize
+    the capacity element to the input length."""
+    vk2 = _demo_vk2(srs)
+    sol = render_recursive_verification_key(None, vk2, 2)
     for i in range(45):
         for j in range(3):
-            digest = keccak256(tag + counter.to_bytes(8, "big"))
-            v = int.from_bytes(digest, "big") & ((1 << 253) - 1)
-            assert v == ROUND_CONSTANTS[i][j], (i, j)
-            counter += 1
+            assert f"rc[{i}][{j}] = {ROUND_CONSTANTS[i][j]};" in sol, (i, j)
+    assert "state[2] = n;" in sol
