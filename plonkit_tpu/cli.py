@@ -49,7 +49,8 @@ def _load_circuit(circuit_file, witness=None):
 
 
 def _backend(args):
-    if getattr(args, "backend", "auto") == "host":
+    kind = getattr(args, "backend", "auto")
+    if kind == "host":
         from .backend import HostBackend
         return HostBackend()
     try:
@@ -67,9 +68,17 @@ def _backend(args):
         except Exception:
             pass
         platform = jax.devices()[0].platform
+        interpret = (platform == "cpu" and os.environ.get(
+            "PLONKIT_TPU_INTERPRET", "0") == "1")
+        if kind == "mesh":
+            # multi-chip: shard the domain axis over all visible devices
+            # (PLONKIT_TPU_MESH_DEVICES caps the mesh size)
+            from .parallel.backend_mesh import MeshBackend
+            nd = os.environ.get("PLONKIT_TPU_MESH_DEVICES")
+            return MeshBackend(n_devices=int(nd) if nd else None,
+                               interpret=interpret)
         from .backend_jax import JaxBackend
-        return JaxBackend(interpret=(platform == "cpu" and os.environ.get(
-            "PLONKIT_TPU_INTERPRET", "0") == "1"))
+        return JaxBackend(interpret=interpret)
     except Exception as e:  # pragma: no cover
         log.warning("JAX backend unavailable (%s); using host backend", e)
         from .backend import HostBackend
@@ -252,7 +261,8 @@ def build_parser():
     p = argparse.ArgumentParser(
         prog="plonkit-tpu",
         description="A zkSNARK toolkit to work with circom zkSNARKs DSL in plonk proof system (TPU-native)")
-    p.add_argument("--backend", choices=["auto", "host", "jax"], default="auto")
+    p.add_argument("--backend", choices=["auto", "host", "jax", "mesh"],
+                   default="auto")
     sub = p.add_subparsers(dest="command", required=True)
 
     sp = sub.add_parser("analyse", help="Analyse the circuit and output some stats")

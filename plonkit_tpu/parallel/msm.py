@@ -50,28 +50,40 @@ def _dist_windows_fn(n: int, n_devices: int, c: int, mesh_id: int):
     lanes = max(1 << c, 128)
     r_uni = _rmax_for(-(-n_local // nkeys))
     # top-window occupancy is bounded by the modulus' top bits, not the
-    # window range (see tpu.msm.MSMContext._init_params)
-    max_key = min(nkeys, (FR_MODULUS >> ((num_windows - 1) * c)) + 1)
-    key_hi = max_key + 1
+    # window range; its per-KEY mass is 2^((W-1)c)/r, far from uniform,
+    # so the mean is mass-sized (see tpu.msm._Chunk)
+    shift_top = (num_windows - 1) * c
+    max_key = min(nkeys, FR_MODULUS >> shift_top)
     repl = 1
-    while repl * 2 * key_hi <= lanes and repl < 64:
+    while 2 * repl * (max_key + 1) <= lanes and repl < 64:
         repl *= 2
-    r_top = _rmax_for(-(-n_local // max(1, max_key * repl)))
+    mean_top1 = -(-n_local * (1 << shift_top) // FR_MODULUS)   # repl = 1
+    r_top = _rmax_for(-(-mean_top1 // repl))
 
     # VMEM-resident pallas sweep on TPU meshes; jnp path on the CPU test mesh
     kern = _window_kernel if pk._use_jnp_fallback() else _window_pallas
+    # if the top window's unreplicated runs already fit the uniform r_max
+    # (small shards), fold it into the lax.map so the whole MSM compiles
+    # ONE window body — XLA-CPU compile of the EC limb graphs is the slow
+    # tier's bottleneck and a second (replicated-layout) body doubles it
+    fold_top = _rmax_for(mean_top1) <= r_uni
     uni = partial(kern, n=n_local, lanes=lanes, r_max=r_uni, repl=1)
     top = partial(kern, n=n_local, lanes=lanes, r_max=r_top, repl=repl)
 
     def body(x, y, inf, digits):
         # x, y: [16, n/D]; inf: [n/D]; digits: [W, n/D]
-        tx, ty, tz, ovf, bad = jax.lax.map(
-            lambda d: uni(x, y, inf, d), digits[:num_windows - 1])
-        hx, hy, hz, hovf, hbad = top(x, y, inf, digits[num_windows - 1])
-        wx = jnp.concatenate([tx, hx[None]], axis=0)      # [W, 16, 1]
-        wy = jnp.concatenate([ty, hy[None]], axis=0)
-        wz = jnp.concatenate([tz, hz[None]], axis=0)
-        flag = jnp.any(ovf) | jnp.any(bad) | hovf | hbad
+        if fold_top:
+            wx, wy, wz, ovf, bad = jax.lax.map(
+                lambda d: uni(x, y, inf, d), digits)
+            flag = jnp.any(ovf) | jnp.any(bad)
+        else:
+            tx, ty, tz, ovf, bad = jax.lax.map(
+                lambda d: uni(x, y, inf, d), digits[:num_windows - 1])
+            hx, hy, hz, hovf, hbad = top(x, y, inf, digits[num_windows - 1])
+            wx = jnp.concatenate([tx, hx[None]], axis=0)  # [W, 16, 1]
+            wy = jnp.concatenate([ty, hy[None]], axis=0)
+            wz = jnp.concatenate([tz, hz[None]], axis=0)
+            flag = jnp.any(ovf) | jnp.any(bad) | hovf | hbad
         # leading axis of size 1 concatenates to [D, ...] across the mesh
         return wx[None], wy[None], wz[None], flag[None]
 

@@ -284,30 +284,52 @@ def _reduce_weighted(pts, badvec, *, lanes, repl, fold):
     (an all-rounds-in-VMEM megakernel variant compiled for tens of
     minutes and overflowed the Mosaic SSA stack).
 
+    Each phase is a fori_loop whose round parameters (shift, mask bound)
+    derive from the loop index, so the whole reduction compiles THREE fold
+    bodies instead of ~2*log2(lanes) distinct unrolled copies — the
+    unrolled form dominated both XLA-CPU test compiles (minutes per extra
+    EC graph) and the TPU program build.
+
     Returns (totals [16, G] x3, badvec)."""
     total = pts[0].shape[1]
     cols = jnp.arange(total, dtype=jnp.int32) % lanes
 
-    step = repl
-    while step > 1:
-        h = step // 2
-        mask = ((cols % repl) < h).astype(jnp.uint32)
-        pts, badvec = fold(pts, badvec, mask, h)
-        step = h
+    def carry_in(pts, badvec):
+        return pts[0], pts[1], pts[2], badvec
+
     if repl > 1:
+        def sub_body(i, st):
+            x, y, z, bad = st
+            h = jnp.int32(repl) >> (i + 1)
+            mask = ((cols % repl) < h).astype(jnp.uint32)
+            (x, y, z), bad = fold((x, y, z), bad, mask, h)
+            return x, y, z, bad
+        st = jax.lax.fori_loop(0, repl.bit_length() - 1, sub_body,
+                               carry_in(pts, badvec))
+        pts, badvec = st[:3], st[3]
         pts = (pts[0], pts[1],
                jnp.where((cols % repl == 0)[None], pts[2], 0))
     nrep = lanes // repl
-    d = 1
-    while d < nrep:
+    rounds_up = max(0, nrep.bit_length() - 1)
+
+    def up_body(i, st):
+        x, y, z, bad = st
+        d = jnp.int32(1) << i
         mask = (cols < (nrep - d) * repl).astype(jnp.uint32)
-        pts, badvec = fold(pts, badvec, mask, d * repl)
-        d *= 2
-    d = nrep // 2
-    while d >= 1:
+        (x, y, z), bad = fold((x, y, z), bad, mask, d * repl)
+        return x, y, z, bad
+
+    st = jax.lax.fori_loop(0, rounds_up, up_body, carry_in(pts, badvec))
+
+    def down_body(i, st):
+        x, y, z, bad = st
+        d = jnp.int32(nrep) >> (i + 1)
         mask = (cols < d * repl).astype(jnp.uint32)
-        pts, badvec = fold(pts, badvec, mask, d * repl)
-        d //= 2
+        (x, y, z), bad = fold((x, y, z), bad, mask, d * repl)
+        return x, y, z, bad
+
+    st = jax.lax.fori_loop(0, rounds_up, down_body, st)
+    pts, badvec = st[:3], st[3]
     totals = tuple(a[:, ::lanes] for a in pts)
     return totals, badvec
 
