@@ -34,4 +34,7 @@ $CLI prove -m "$SRS" -l lagrange.key -c circuit.r1cs.json -w witness_0.json \
     -p proof_l.bin -j proof_l.json -i public_l.json --overwrite
 cmp proof.bin proof_l.bin
 
+# contract execution (solvm interpreter stand-in for the hardhat step)
+python "$REPO/scripts/run_contract.py" verifier.sol proof.json public.json
+
 echo "PIPELINE OK"

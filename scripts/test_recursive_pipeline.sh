@@ -63,4 +63,8 @@ $CLI generate-recursive-verifier -o vk.bin -n recursive_vk.bin \
     -i $((2 * NPROOFS)) -s recursive_verifier.sol --overwrite
 test -s recursive_verifier.sol
 
+# execute the recursive verifier contract on the aggregated proof
+python "$REPO/scripts/run_contract.py" --recursive recursive_verifier.sol \
+    recursive_proof.json
+
 echo "RECURSIVE PIPELINE OK"
