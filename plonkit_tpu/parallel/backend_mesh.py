@@ -35,8 +35,7 @@ driver's dryrun runs the full golden-circuit prove on it and checks the
 proof bytes against the reference artifact (__graft_entry__.py).
 """
 
-from functools import lru_cache
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +44,7 @@ from ..backend_jax import FrVec, JaxBackend, _const_mont, _pow_vec
 from ..fields import FR_GENERATOR, FR_MODULUS as R, fr_inv
 from ..tpu import pallas_kernels as pk
 from ..tpu.mont import FR, NLIMBS
-from .mesh import AXIS, domain_sharding, make_mesh, replicated
+from .mesh import domain_sharding, make_mesh, replicated
 from .ntt import _split, distributed_ntt
 
 

@@ -28,7 +28,7 @@ Reference behavior: solc 0.8.4 + hardhat harness
 """
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from .keccak import keccak256
 

@@ -7,9 +7,6 @@ runs over a jax Mesh via the backend abstraction, and the bar is the
 reference's own determinism bar — byte-identical proof.bin
 (src/tests.rs:68-72)."""
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from plonkit_tpu.api import SetupForProver, verify
@@ -17,7 +14,6 @@ from plonkit_tpu.frontend.circuit import CircomCircuit
 from plonkit_tpu.frontend.r1cs import load_r1cs
 from plonkit_tpu.frontend.witness import load_witness
 from plonkit_tpu.parallel.backend_mesh import MeshBackend
-from plonkit_tpu.parallel.mesh import make_mesh
 @pytest.fixture(scope="module")
 def mesh_backend():
     return MeshBackend(n_devices=8)
