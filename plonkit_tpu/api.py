@@ -143,7 +143,8 @@ class SetupForProver:
     def validate_witness(self, circuit: CircomCircuit) -> None:
         from .plonk.prover import validate_witness
         _, cols, pub = synthesize_witness(circuit)
-        validate_witness(self.setup_polynomials, cols, pub)
+        validate_witness(self.setup_polynomials, cols, pub,
+                         backend=self.backend)
 
     def prove(self, circuit: CircomCircuit, transcript: str = "keccak") -> Proof:
         _, cols, pub = synthesize_witness(circuit)

@@ -19,6 +19,7 @@ the JAX/TPU backend -- backend_jax.JaxBackend keeps every vector on device).
 from typing import List
 
 from ..fields import FR_MODULUS as R, FR_GENERATOR, fr_inv, get_domain_omega
+from ..profiling import stage
 from ..serialization import Crs, Proof
 from ..transcript import make_transcript
 from .setup import K_COLS, STATE_WIDTH, SetupPolynomials
@@ -31,9 +32,31 @@ class ProvingError(Exception):
 
 
 def validate_witness(setup: SetupPolynomials, wire_columns: List[List[int]],
-                     public_inputs: List[int]) -> None:
-    """Equivalent of is_satisfied_using_one_shot_check (src/plonk.rs:127-129)."""
+                     public_inputs: List[int], backend=None) -> None:
+    """Equivalent of is_satisfied_using_one_shot_check (src/plonk.rs:127-129).
+
+    With a vector backend the whole gate identity evaluates as ~12 batched
+    ops (the python per-row loop took tens of seconds at 2^20 and
+    dominated the warm prove wall time)."""
     size = setup.domain_size
+    if backend is not None and backend.name != "host":
+        b = backend
+        w = [b.from_ints(col, pad_to=size) for col in wire_columns]
+        q = [b.from_ints(s) for s in setup.selectors]
+        pi = b.from_ints(list(public_inputs), pad_to=size)
+        acc = b.add(b.mul(q[0], w[0]), b.mul(q[1], w[1]))
+        acc = b.add(acc, b.mul(q[2], w[2]))
+        acc = b.add(acc, b.mul(q[3], w[3]))
+        acc = b.add(acc, b.mul(q[4], b.mul(w[0], w[1])))
+        acc = b.add(acc, q[5])
+        acc = b.add(acc, b.mul(q[6], b.rotate(w[3], 1)))
+        acc = b.add(acc, pi)
+        vals = b.to_ints(acc)
+        if any(vals):
+            row = next(i for i, v in enumerate(vals) if v)
+            raise ProvingError(
+                f"constraint system is not satisfied at row {row}")
+        return
     cols = [list(col) + [0] * (size - len(col)) for col in wire_columns]
     q = setup.selectors
     for row in range(size):
@@ -113,44 +136,50 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     omega = ctx.omega
 
     if not skip_validation:
-        validate_witness(setup, wire_columns, public_inputs)
+        with stage("witness satisfaction check"):
+            validate_witness(setup, wire_columns, public_inputs,
+                             backend=ctx.backend)
 
     transcript = make_transcript(transcript)
     for x in public_inputs:
         transcript.update_u256(x)
 
     # ---- round 1: wire polynomials -------------------------------------
-    wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
-    wires_m = [b.intt(v) for v in wires_v]
-    if ctx.lagrange_msm_ctx is not None:
-        wire_comms = [b.commit(ctx.lagrange_msm_ctx, v) for v in wires_v]
-    else:
-        wire_comms = [b.commit(ctx.msm_ctx, m) for m in wires_m]
+    with stage("r1 wires: intt + 4 commits"):
+        wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
+        wires_m = [b.intt(v) for v in wires_v]
+        if ctx.lagrange_msm_ctx is not None:
+            wire_comms = [b.commit(ctx.lagrange_msm_ctx, v) for v in wires_v]
+        else:
+            wire_comms = [b.commit(ctx.msm_ctx, m) for m in wires_m]
     for p in wire_comms:
         transcript.update_g1(p)
     beta = transcript.get_challenge()
     gamma = transcript.get_challenge()
 
     # ---- round 2: grand product ----------------------------------------
-    num = None
-    den = None
-    for j in range(STATE_WIDTH):
-        kj_beta = K_COLS[j] * beta % R
-        term_n = b.add_scalar(b.scale_add(ctx.omega_pows, kj_beta, wires_v[j]), gamma)
-        term_d = b.add_scalar(b.scale_add(ctx.sigma_v[j], beta, wires_v[j]), gamma)
-        num = term_n if num is None else b.mul(num, term_n)
-        den = term_d if den is None else b.mul(den, term_d)
-    ratio = b.mul(num, b.batch_inverse(den))
-    z_v = b.grand_product(ratio)
-    z_m = b.intt(z_v)
-    if ctx.lagrange_msm_ctx is not None:
-        z_comm = b.commit(ctx.lagrange_msm_ctx, z_v)
-    else:
-        z_comm = b.commit(ctx.msm_ctx, z_m)
+    with stage("r2 grand product + commit"):
+        num = None
+        den = None
+        for j in range(STATE_WIDTH):
+            kj_beta = K_COLS[j] * beta % R
+            term_n = b.add_scalar(b.scale_add(ctx.omega_pows, kj_beta, wires_v[j]), gamma)
+            term_d = b.add_scalar(b.scale_add(ctx.sigma_v[j], beta, wires_v[j]), gamma)
+            num = term_n if num is None else b.mul(num, term_n)
+            den = term_d if den is None else b.mul(den, term_d)
+        ratio = b.mul(num, b.batch_inverse(den))
+        z_v = b.grand_product(ratio)
+        z_m = b.intt(z_v)
+        if ctx.lagrange_msm_ctx is not None:
+            z_comm = b.commit(ctx.lagrange_msm_ctx, z_v)
+        else:
+            z_comm = b.commit(ctx.msm_ctx, z_m)
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
 
     # ---- round 3: quotient ---------------------------------------------
+    _r3 = stage("r3 quotient: LDEs + 4 commits")
+    _r3.__enter__()
     wires_l = [b.coset_lde(m, LDE_FACTOR) for m in wires_m]
     z_l = b.coset_lde(z_m, LDE_FACTOR)
 
@@ -195,11 +224,14 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
 
     t_chunks = [b.slice(t_m, i * size, (i + 1) * size) for i in range(LDE_FACTOR)]
     t_comms = [b.commit(ctx.msm_ctx, ch) for ch in t_chunks]
+    _r3.__exit__(None, None, None)
     for p in t_comms:
         transcript.update_g1(p)
     zeta = transcript.get_challenge()
 
     # ---- round 4: evaluations + linearization --------------------------
+    _r4 = stage("r4 evaluations + linearization")
+    _r4.__enter__()
     zeta_omega = zeta * omega % R
     wire_evals = [b.poly_eval(m, zeta) for m in wires_m]
     a_z, b_z, c_z, d_z = wire_evals
@@ -235,6 +267,7 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     r_m = b.sub(r_m, b.scale(ctx.sigma_m[STATE_WIDTH - 1], sigma_factor))
     r_z = b.poly_eval(r_m, zeta)
 
+    _r4.__exit__(None, None, None)
     for e in wire_evals:
         transcript.update_fr(e)
     transcript.update_fr(d_zw)
@@ -246,6 +279,8 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     v = transcript.get_challenge()
 
     # ---- round 5: opening proofs ---------------------------------------
+    _r5 = stage("r5 openings: 2 divisions + 2 commits")
+    _r5.__enter__()
     t_agg = t_chunks[0]
     power = 1
     for ch in t_chunks[1:]:
@@ -268,6 +303,7 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     agg_w = b.scale_add(wires_m[3], v9 * v % R, b.scale(z_m, v9))
     w_zw = b.divide_by_linear(agg_w, zeta_omega)
     opening_zw = b.commit(ctx.msm_ctx, w_zw)
+    _r5.__exit__(None, None, None)
 
     return Proof(
         n=n,

@@ -116,10 +116,14 @@ def main():
     t_first = time.time() - t0
     print(f"prove (cold, incl. compile): {t_first:.1f}s", file=sys.stderr)
 
+    from plonkit_tpu import profiling
+    profiling.reset()
     t0 = time.time()
     proof = setup.prove(circuit)
     t_warm = time.time() - t0
     print(f"prove (warm): {t_warm:.1f}s", file=sys.stderr)
+    for name, dt in profiling.last_timings.items():
+        print(f"  [stage] {name:36s} {dt:7.2f}s", file=sys.stderr)
 
     t0 = time.time()
     vk = setup.make_verification_key()

@@ -1,5 +1,10 @@
 """Distributed MSM on the 8-device virtual CPU mesh vs the host oracle
-(reference behavior: bellman_ce multiexp, SURVEY D1c; sharding per §5.8)."""
+(reference behavior: bellman_ce multiexp, SURVEY D1c; sharding per §5.8).
+
+Both tests pad to the SAME sharded shape (n=256, D=8, c=8) so the
+shard_map'd window program compiles once for the whole module — distinct
+shapes each cost minutes of XLA-CPU compile (the round-3 slow-tier
+timeout)."""
 
 import random
 
@@ -16,7 +21,7 @@ def _bases(n, seed=5):
     return [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
 
 
-@pytest.mark.slow  # XLA-CPU compile of the EC window kernel takes minutes cold
+@pytest.mark.slow  # XLA-CPU compile of the EC window body takes ~3 min cold
 def test_distributed_msm_matches_host_oracle():
     n = 256
     rng = random.Random(11)
@@ -31,14 +36,15 @@ def test_distributed_msm_matches_host_oracle():
 
 @pytest.mark.slow
 def test_distributed_msm_unpadded_and_sparse():
-    # non-multiple-of-D length (pads with infinity) + structured scalars
-    # with many zero digits
-    n = 100
+    # non-multiple-of-D length (pads with infinity up to the SAME n=256
+    # compiled shape) + structured 0/1 selector-style scalars
+    n = 250
     rng = random.Random(12)
     points = _bases(n, seed=7)
-    scalars = [rng.randrange(2) for _ in range(n)]  # 0/1 selector-style
+    scalars = [rng.randrange(2) for _ in range(n)]
     mesh = make_mesh(8)
     ctx = DistributedMSMContext(mesh, points, c=8)
+    assert ctx.n == 256
     got = ctx.msm(scalars)
     want = g1_msm_host(points, scalars)
     assert got == want
