@@ -89,6 +89,29 @@ def _const_mont(value: int):
 # jitted helpers -------------------------------------------------------------
 
 @lru_cache(maxsize=None)
+def _to_mont_jit():
+    def f(raw):
+        return mont.to_mont(FR, raw)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _from_mont_jit():
+    def f(data):
+        return mont.from_mont(FR, data)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _inverse_jit():
+    # eager mont_pow re-traces its ~700-op CIOS fori body on every call
+    # (~2 s of python tracing per batch_inverse at any size)
+    def f(data):
+        return mont.inverse(FR, data)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
 def _scale_add_jit(interpret: bool):
     # (a * k + c) elementwise with broadcast scalar k
     def f(a, k, c):
@@ -178,13 +201,19 @@ class JaxBackend:
         vals = list(values)
         if pad_to is not None and len(vals) < pad_to:
             vals = vals + [0] * (pad_to - len(vals))
-        # raw limb split on host (cheap bytes-based numpy), Montgomery
-        # conversion on device: avoids 254-bit python modmuls per element
+        # raw limb split on host (cheap bytes-based numpy), then ONE jitted
+        # Montgomery conversion: the eager to_mont executed its ~700-op
+        # CIOS graph op-by-op (~20 s of dispatch per 2^20 vector through
+        # the remote-TPU tunnel).  u32 limbs on the wire: the axon
+        # device_put path moves u32 at ~70 MB/s but hits a ~20x slower
+        # fallback for u16 arrays, so the half-width format loses.
         raw = push_dev(FR.to_limbs_np(vals))
-        return FrVec(mont.to_mont(FR, raw))
+        return FrVec(_to_mont_jit()(raw))
 
     def to_ints(self, v: FrVec) -> List[int]:
-        raw = pull_np(mont.from_mont(FR, v.data))
+        # jitted from-Montgomery (the eager CIOS graph costs ~75 s of
+        # per-op dispatch at 2^20 through the remote tunnel)
+        raw = pull_np(_from_mont_jit()(v.data))
         return FR.from_limbs_np(raw)
 
     # -- NTT ---------------------------------------------------------------
@@ -301,7 +330,7 @@ class JaxBackend:
         return FrVec(_prefix_products_jit(n, self.interpret)(_shift_in_one(factors.data)))
 
     def batch_inverse(self, v: FrVec) -> FrVec:
-        return FrVec(mont.inverse(FR, v.data))
+        return FrVec(_inverse_jit()(v.data))
 
     def powers(self, base: int, n: int) -> FrVec:
         return FrVec(_pow_vec(_const_mont(base % R), n, self.interpret))

@@ -31,31 +31,36 @@ class ProvingError(Exception):
     pass
 
 
+def _validate_on_backend(b, sel_v, wires_v, pi_vec) -> None:
+    """Gate-identity satisfaction over prepared backend vectors (~12
+    batched ops; the per-row python loop took ~30 s at 2^20 inside every
+    prove).  Works for any backend — HostBackend's list ops included."""
+    q, w = sel_v, wires_v
+    acc = b.add(b.mul(q[0], w[0]), b.mul(q[1], w[1]))
+    acc = b.add(acc, b.mul(q[2], w[2]))
+    acc = b.add(acc, b.mul(q[3], w[3]))
+    acc = b.add(acc, b.mul(q[4], b.mul(w[0], w[1])))
+    acc = b.add(acc, q[5])
+    acc = b.add(acc, b.mul(q[6], b.rotate(w[3], 1)))
+    acc = b.add(acc, pi_vec)
+    vals = b.to_ints(acc)
+    if any(vals):
+        row = next(i for i, v in enumerate(vals) if v)
+        raise ProvingError(
+            f"constraint system is not satisfied at row {row}")
+
+
 def validate_witness(setup: SetupPolynomials, wire_columns: List[List[int]],
                      public_inputs: List[int], backend=None) -> None:
-    """Equivalent of is_satisfied_using_one_shot_check (src/plonk.rs:127-129).
-
-    With a vector backend the whole gate identity evaluates as ~12 batched
-    ops (the python per-row loop took tens of seconds at 2^20 and
-    dominated the warm prove wall time)."""
+    """Equivalent of is_satisfied_using_one_shot_check (src/plonk.rs:127-129)."""
     size = setup.domain_size
-    if backend is not None and backend.name != "host":
+    if backend is not None:
         b = backend
-        w = [b.from_ints(col, pad_to=size) for col in wire_columns]
-        q = [b.from_ints(s) for s in setup.selectors]
-        pi = b.from_ints(list(public_inputs), pad_to=size)
-        acc = b.add(b.mul(q[0], w[0]), b.mul(q[1], w[1]))
-        acc = b.add(acc, b.mul(q[2], w[2]))
-        acc = b.add(acc, b.mul(q[3], w[3]))
-        acc = b.add(acc, b.mul(q[4], b.mul(w[0], w[1])))
-        acc = b.add(acc, q[5])
-        acc = b.add(acc, b.mul(q[6], b.rotate(w[3], 1)))
-        acc = b.add(acc, pi)
-        vals = b.to_ints(acc)
-        if any(vals):
-            row = next(i for i, v in enumerate(vals) if v)
-            raise ProvingError(
-                f"constraint system is not satisfied at row {row}")
+        _validate_on_backend(
+            b,
+            [b.from_ints(q) for q in setup.selectors],
+            [b.from_ints(col, pad_to=size) for col in wire_columns],
+            b.from_ints(list(public_inputs), pad_to=size))
         return
     cols = [list(col) + [0] * (size - len(col)) for col in wire_columns]
     q = setup.selectors
@@ -97,7 +102,8 @@ class ProverContext:
             self.lagrange_msm_ctx = backend.msm_context_from_crs(
                 crs_lagrange, size, key=("srs-l", id(crs_lagrange), size))
         b = backend
-        self.sel_m = [b.intt(b.from_ints(s)) for s in setup.selectors]
+        self.sel_v = [b.from_ints(s) for s in setup.selectors]
+        self.sel_m = [b.intt(v) for v in self.sel_v]
         self.sigma_m = [b.intt(b.from_ints(s)) for s in setup.permutations]
         self.sel_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sel_m]
         self.sigma_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sigma_m]
@@ -135,10 +141,15 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     n = setup.n
     omega = ctx.omega
 
+    # one host->device conversion per wire, shared by the satisfaction
+    # check and round 1 (the transfer, not the math, is the cost)
+    with stage("witness transfer"):
+        wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
+        pi_vec = b.from_ints(list(public_inputs), pad_to=size)
+
     if not skip_validation:
         with stage("witness satisfaction check"):
-            validate_witness(setup, wire_columns, public_inputs,
-                             backend=ctx.backend)
+            _validate_on_backend(b, ctx.sel_v, wires_v, pi_vec)
 
     transcript = make_transcript(transcript)
     for x in public_inputs:
@@ -146,7 +157,6 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
 
     # ---- round 1: wire polynomials -------------------------------------
     with stage("r1 wires: intt + 4 commits"):
-        wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
         wires_m = [b.intt(v) for v in wires_v]
         if ctx.lagrange_msm_ctx is not None:
             wire_comms = [b.commit(ctx.lagrange_msm_ctx, v) for v in wires_v]
@@ -159,21 +169,24 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
 
     # ---- round 2: grand product ----------------------------------------
     with stage("r2 grand product + commit"):
-        num = None
-        den = None
-        for j in range(STATE_WIDTH):
-            kj_beta = K_COLS[j] * beta % R
-            term_n = b.add_scalar(b.scale_add(ctx.omega_pows, kj_beta, wires_v[j]), gamma)
-            term_d = b.add_scalar(b.scale_add(ctx.sigma_v[j], beta, wires_v[j]), gamma)
-            num = term_n if num is None else b.mul(num, term_n)
-            den = term_d if den is None else b.mul(den, term_d)
-        ratio = b.mul(num, b.batch_inverse(den))
-        z_v = b.grand_product(ratio)
-        z_m = b.intt(z_v)
-        if ctx.lagrange_msm_ctx is not None:
-            z_comm = b.commit(ctx.lagrange_msm_ctx, z_v)
-        else:
-            z_comm = b.commit(ctx.msm_ctx, z_m)
+        with stage("r2a terms"):
+            num = None
+            den = None
+            for j in range(STATE_WIDTH):
+                kj_beta = K_COLS[j] * beta % R
+                term_n = b.add_scalar(b.scale_add(ctx.omega_pows, kj_beta, wires_v[j]), gamma)
+                term_d = b.add_scalar(b.scale_add(ctx.sigma_v[j], beta, wires_v[j]), gamma)
+                num = term_n if num is None else b.mul(num, term_n)
+                den = term_d if den is None else b.mul(den, term_d)
+        with stage("r2b inverse+scan"):
+            ratio = b.mul(num, b.batch_inverse(den))
+            z_v = b.grand_product(ratio)
+            z_m = b.intt(z_v)
+        with stage("r2c commit"):
+            if ctx.lagrange_msm_ctx is not None:
+                z_comm = b.commit(ctx.lagrange_msm_ctx, z_v)
+            else:
+                z_comm = b.commit(ctx.msm_ctx, z_m)
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
 
@@ -183,10 +196,7 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     wires_l = [b.coset_lde(m, LDE_FACTOR) for m in wires_m]
     z_l = b.coset_lde(z_m, LDE_FACTOR)
 
-    pi_v = [0] * size
-    for i, x in enumerate(public_inputs):
-        pi_v[i] = x
-    pi_l = b.coset_lde(b.intt(b.from_ints(pi_v)), LDE_FACTOR)
+    pi_l = b.coset_lde(b.intt(pi_vec), LDE_FACTOR)
 
     d_next_l = b.rotate(wires_l[3], LDE_FACTOR)
     z_next_l = b.rotate(z_l, LDE_FACTOR)

@@ -49,9 +49,15 @@ class FieldSpec:
 
     def to_limbs_np(self, values) -> np.ndarray:
         """python ints (canonical) -> [16, N] uint32 raw limbs."""
+        return self.to_limbs_np_u16(values).astype(np.uint32)
+
+    def to_limbs_np_u16(self, values) -> np.ndarray:
+        """python ints (canonical) -> [16, N] uint16 raw limbs (the
+        minimal 32 B/element wire format: callers that ship limbs to a
+        device push this and widen there, halving host->device bytes)."""
         n = len(values)
         buf = b"".join(int(v).to_bytes(32, "little") for v in values)
-        arr = np.frombuffer(buf, dtype="<u2").astype(np.uint32).reshape(n, NLIMBS)
+        arr = np.frombuffer(buf, dtype="<u2").reshape(n, NLIMBS)
         return np.ascontiguousarray(arr.T)
 
     def from_limbs_np(self, limbs) -> list:

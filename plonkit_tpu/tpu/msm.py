@@ -46,6 +46,18 @@ row-ISSUE bound, so the design minimizes *rows x row-bytes* jointly):
      suffix sums = sum_k k*S_k given the 1-based keys);
   7. windows combined on device (batched doubling + tree fold kernel).
 
+Why not batched-affine adds (the classic GPU trick, 6 muls + shared
+inversion vs 11 Jacobian muls): Montgomery batch inversion is 3 muls/elem
+only when the prefix products run SEQUENTIALLY per thread; on TPU vectors
+the r-axis is the only sequential axis and the accumulator's x feeds the
+next denominator, so the inversion must batch per TREE LEVEL instead —
+r-extent prefix (2 muls) + cross-lane tree root + backward pass (2 muls)
+= ~4 muls/elem of inversion overhead on top of the 6-mul affine add.
+~10 vs 11 muls per point-slot, for a much hairier kernel: not taken.
+The measured wall composition at 2^20 (525 ms total): sorted-order
+gathers 8.2 ms/window (issue-bound floor), sweep 8.8 ms/window
+(0.5 ns/(mul*elem), VPU-bound), digits+sort 66 ms, reduction 45 ms.
+
 Lane padding r_max is intentionally tight — mean + 5*sqrt(mean) + 8
 (P[lane overflow] ~ 3e-7 per lane for uniform scalars).  Overflow is
 *checked on device* and retried with a conservative config (mean +
@@ -56,6 +68,7 @@ bucket) also flag on device and go straight to the host path (correctness
 first — those commitments happen once per setup, not per proof).
 """
 
+import logging
 import math
 from functools import lru_cache, partial
 
@@ -78,6 +91,8 @@ import os as _os
 
 # flat sweep lane-block width (lanes per kernel block)
 LB = int(_os.environ.get("PLONKIT_TPU_MSM_LB", "512"))
+
+log = logging.getLogger("plonkit_tpu")
 
 
 def _round_up(v, m):
@@ -666,14 +681,18 @@ class MSMContext:
                                       ck.top_key)
             ovf_np, bad_np, res_np = jax.device_get((ovf, bad, res))
             if bool(ovf_np) and not bool(bad_np):
-                # a lane run exceeded the tight r_max (~3% of uniform 2^20
-                # MSMs): retry on device with the conservative padding
+                # a lane run exceeded the tight r_max: retry on device with
+                # the conservative padding
+                log.info("MSM lane overflow (chunk %d, n=%d): retrying with "
+                         "safe r_max", i, ck.n)
                 res, ovf, bad = run_chunk(ck, s, e, ck.uni_safe_key,
                                           ck.mid_safe_key, ck.top_safe_key)
                 ovf_np, bad_np, res_np = jax.device_get((ovf, bad, res))
             if bool(ovf_np) or bool(bad_np):
                 # degenerate add or adversarial bucket skew (structured
                 # scalar vectors) — fall back to host (correctness first)
+                log.info("MSM device flags (ovf=%s bad=%s, chunk %d): host "
+                         "fallback", bool(ovf_np), bool(bad_np), i)
                 return self._host_fallback(fallback_scalars)
             results.append(ec.to_affine_host(res_np)[0])
         if len(results) == 1:

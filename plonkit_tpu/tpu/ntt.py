@@ -155,10 +155,18 @@ def ntt_batched(values, inverse: bool = False, interpret: bool = False):
     return _ntt_batched_jit(m, inverse, interpret)(values, omega_pows, rev, n_inv_vec)
 
 
+@lru_cache(maxsize=8)
+def _coset_pows(shift: int, n: int):
+    """Device-resident shift-power table (the host ladder + upload costs
+    ~0.5 s at 4M and was paid on EVERY coset transform; only a handful of
+    (shift, n) pairs ever occur per prover)."""
+    return jnp.asarray(_powers_np(shift, n))
+
+
 def coset_scale(coeffs, shift: int, interpret: bool = False):
     """Multiply coefficient i by shift^i (for coset NTTs)."""
     n = coeffs.shape[1]
-    pows = jnp.asarray(_powers_np(shift, n))
+    pows = _coset_pows(shift, n)
     return pk.mul(FR, coeffs, pows, interpret=interpret)
 
 
