@@ -103,7 +103,73 @@ class HostBackend:
     def scale_add(self, a, k: int, c):
         return [(x * k + y) % R for x, y in zip(a, c)]
 
+    def gate_residual(self, sel_v, wires_v, pi_vec):
+        """Value-domain gate identity residual (the witness satisfaction
+        check): q_a*a + q_b*b + q_c*c + q_d*d + q_m*a*b + q_const +
+        q_dnext*rot(d) + PI.  Zero everywhere iff satisfied."""
+        q, w = sel_v, wires_v
+        acc = self.add(self.mul(q[0], w[0]), self.mul(q[1], w[1]))
+        acc = self.add(acc, self.mul(q[2], w[2]))
+        acc = self.add(acc, self.mul(q[3], w[3]))
+        acc = self.add(acc, self.mul(q[4], self.mul(w[0], w[1])))
+        acc = self.add(acc, q[5])
+        acc = self.add(acc, self.mul(q[6], self.rotate(w[3], 1)))
+        return self.add(acc, pi_vec)
+
+    def any_nonzero(self, v) -> bool:
+        return any(v)
+
+    def quotient_column(self, sel_l, wires_l, d_next_l, z_l, z_next_l,
+                        pi_l, x_coset, sigma_l, l0_l, vanishing_inv,
+                        beta: int, gamma: int, alpha: int, k_cols):
+        """Round 3's coset-domain elementwise pipeline as one composite op:
+        t = (gate + alpha*perm + alpha^2*(z-1)*L0) * Z_H^-1 over the LDE
+        domain.  Backends may fuse it into a single device program."""
+        gate = self.mul(sel_l[0], wires_l[0])
+        gate = self.add(gate, self.mul(sel_l[1], wires_l[1]))
+        gate = self.add(gate, self.mul(sel_l[2], wires_l[2]))
+        gate = self.add(gate, self.mul(sel_l[3], wires_l[3]))
+        gate = self.add(gate, self.mul(sel_l[4],
+                                       self.mul(wires_l[0], wires_l[1])))
+        gate = self.add(gate, sel_l[5])
+        gate = self.add(gate, self.mul(sel_l[6], d_next_l))
+        gate = self.add(gate, pi_l)
+
+        perm_num = z_l
+        perm_den = z_next_l
+        for j, k in enumerate(k_cols):
+            kj_beta = k * beta % R
+            perm_num = self.mul(perm_num, self.add_scalar(
+                self.scale_add(x_coset, kj_beta, wires_l[j]), gamma))
+            perm_den = self.mul(perm_den, self.add_scalar(
+                self.scale_add(sigma_l[j], beta, wires_l[j]), gamma))
+        perm = self.sub(perm_num, perm_den)
+
+        alpha2 = alpha * alpha % R
+        numerator = self.add(gate, self.scale(perm, alpha))
+        z_minus_1_l0 = self.mul(self.add_scalar(z_l, R - 1), l0_l)
+        numerator = self.add(numerator, self.scale(z_minus_1_l0, alpha2))
+        return self.mul(numerator, vanishing_inv)
+
     # -- scans / reductions -----------------------------------------------
+    def permutation_grand_product(self, omega_pows, sigma_v, wires_v,
+                                  beta: int, gamma: int, k_cols):
+        """The prover's round-2 pipeline as one composite op:
+        z = grand_product( prod_j (k_j*beta*X + w_j + gamma)
+                           / prod_j (beta*sigma_j + w_j + gamma) ).
+        Backends may fuse it into a single device program."""
+        num = None
+        den = None
+        for j, k in enumerate(k_cols):
+            kj_beta = k * beta % R
+            t_n = self.add_scalar(
+                self.scale_add(omega_pows, kj_beta, wires_v[j]), gamma)
+            t_d = self.add_scalar(
+                self.scale_add(sigma_v[j], beta, wires_v[j]), gamma)
+            num = t_n if num is None else self.mul(num, t_n)
+            den = t_d if den is None else self.mul(den, t_d)
+        return self.grand_product(self.mul(num, self.batch_inverse(den)))
+
     def grand_product(self, factors):
         out = [1] * len(factors)
         for i in range(1, len(factors)):

@@ -103,15 +103,6 @@ def _from_mont_jit():
 
 
 @lru_cache(maxsize=None)
-def _inverse_jit():
-    # eager mont_pow re-traces its ~700-op CIOS fori body on every call
-    # (~2 s of python tracing per batch_inverse at any size)
-    def f(data):
-        return mont.inverse(FR, data)
-    return jax.jit(f)
-
-
-@lru_cache(maxsize=None)
 def _scale_add_jit(interpret: bool):
     # (a * k + c) elementwise with broadcast scalar k
     def f(a, k, c):
@@ -120,23 +111,165 @@ def _scale_add_jit(interpret: bool):
     return jax.jit(f)
 
 
-@lru_cache(maxsize=None)
-def _prefix_products_jit(n: int, interpret: bool):
+def _prefix_products_body(x, n: int, interpret: bool):
     """Inclusive prefix products via Hillis-Steele rounds inside a fori_loop:
     one compiled mul per round regardless of n (associative_scan would emit
     log(n) distinct-shape kernels)."""
     rounds = max(1, (n - 1).bit_length())
 
-    def f(x):
-        def body(i, p):
-            d = jnp.int32(1) << i
-            cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-            mask = cols >= d
-            rolled = jnp.roll(p, d, axis=1)
-            ones = jnp.broadcast_to(jnp.asarray(_const_mont(1)), p.shape)
-            rolled = jnp.where(mask[None], rolled, ones)
-            return pk.mul(FR, p, rolled, interpret=interpret)
-        return jax.lax.fori_loop(0, rounds, body, x)
+    def body(i, p):
+        d = jnp.int32(1) << i
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        mask = cols >= d
+        rolled = jnp.roll(p, d, axis=1)
+        ones = jnp.broadcast_to(jnp.asarray(_const_mont(1)), p.shape)
+        rolled = jnp.where(mask[None], rolled, ones)
+        return pk.mul(FR, p, rolled, interpret=interpret)
+    return jax.lax.fori_loop(0, rounds, body, x)
+
+
+@lru_cache(maxsize=None)
+def _prefix_products_jit(n: int, interpret: bool):
+    return jax.jit(partial(_prefix_products_body, n=n, interpret=interpret))
+
+
+def _suffix_products_body(x, n: int, interpret: bool):
+    """Inclusive suffix products S_i = prod_{j>=i} x_j (Hillis-Steele)."""
+    rounds = max(1, (n - 1).bit_length())
+
+    def body(i, p):
+        d = jnp.int32(1) << i
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        mask = cols < (n - d)
+        rolled = jnp.roll(p, -d, axis=1)
+        ones = jnp.broadcast_to(jnp.asarray(_const_mont(1)), p.shape)
+        rolled = jnp.where(mask[None], rolled, ones)
+        return pk.mul(FR, p, rolled, interpret=interpret)
+    return jax.lax.fori_loop(0, rounds, body, x)
+
+
+def _batch_inverse_body(v, n: int, interpret: bool):
+    """Montgomery batch inversion (zeros map to zero): two product scans,
+    ONE tiny scalar Fermat, and two combining muls — the elementwise
+    Fermat ladder (254 unfused CIOS rounds over the whole vector) measured
+    12.4 s at 2^20; this is ~44 full-width muls (~0.1 s)."""
+    one = jnp.broadcast_to(jnp.asarray(_const_mont(1)), v.shape)
+    zero_mask = jnp.all(v == 0, axis=0)
+    x = jnp.where(zero_mask[None], one, v)
+    pre = _prefix_products_body(x, n, interpret)          # P_i = prod_{j<=i}
+    suf = _suffix_products_body(x, n, interpret)          # S_i = prod_{j>=i}
+    total_inv = mont.inverse(FR, pre[:, n - 1:n])         # [16, 1] Fermat
+    # inv(x_i) = P_{i-1} * S_{i+1} * T^-1
+    pre_excl = jnp.concatenate([one[:, :1], pre[:, :n - 1]], axis=1)
+    suf_excl = jnp.concatenate([suf[:, 1:], one[:, :1]], axis=1)
+    out = pk.mul(FR, pre_excl, suf_excl, interpret=interpret)
+    out = pk.mul(FR, out, jnp.broadcast_to(total_inv, v.shape),
+                 interpret=interpret)
+    return jnp.where(zero_mask[None], 0, out)
+
+
+@lru_cache(maxsize=None)
+def _batch_inverse_jit(n: int, interpret: bool):
+    return jax.jit(partial(_batch_inverse_body, n=n, interpret=interpret))
+
+
+@lru_cache(maxsize=None)
+def _gate_residual_jit(interpret: bool):
+    def f(sel_v, wires_v, pi):
+        def mul(a, b2):
+            return pk.mul(FR, a, b2, interpret=interpret)
+
+        def add(a, b2):
+            return pk.add(FR, a, b2, interpret=interpret)
+        q, w = sel_v, wires_v
+        acc = add(mul(q[0], w[0]), mul(q[1], w[1]))
+        acc = add(acc, mul(q[2], w[2]))
+        acc = add(acc, mul(q[3], w[3]))
+        acc = add(acc, mul(q[4], mul(w[0], w[1])))
+        acc = add(acc, q[5])
+        acc = add(acc, mul(q[6], jnp.roll(w[3], -1, axis=1)))
+        return add(acc, pi)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _any_nonzero_jit():
+    def f(data):
+        return jnp.any(data != 0)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _quotient_column_jit(n: int, w: int, interpret: bool):
+    """Round 3's coset elementwise pipeline (gate identity + permutation
+    + L0 boundary, times Z_H^-1) in ONE program — ~40 eager dispatches
+    otherwise (see _perm_grand_product_jit)."""
+    def f(sel_l, wires_l, d_next_l, z_l, z_next_l, pi_l, x_coset, sigma_l,
+          l0_l, vanishing_inv, kbetas, beta_v, gamma_v, alpha_v, alpha2_v):
+        def bc(c):
+            return jnp.broadcast_to(c, z_l.shape)
+
+        def mul(a, b2):
+            return pk.mul(FR, a, b2, interpret=interpret)
+
+        def add(a, b2):
+            return pk.add(FR, a, b2, interpret=interpret)
+
+        gate = mul(sel_l[0], wires_l[0])
+        gate = add(gate, mul(sel_l[1], wires_l[1]))
+        gate = add(gate, mul(sel_l[2], wires_l[2]))
+        gate = add(gate, mul(sel_l[3], wires_l[3]))
+        gate = add(gate, mul(sel_l[4], mul(wires_l[0], wires_l[1])))
+        gate = add(gate, sel_l[5])
+        gate = add(gate, mul(sel_l[6], d_next_l))
+        gate = add(gate, pi_l)
+
+        perm_num = z_l
+        perm_den = z_next_l
+        for j in range(w):
+            t_n = add(add(mul(x_coset, bc(kbetas[j])), wires_l[j]),
+                      bc(gamma_v))
+            t_d = add(add(mul(sigma_l[j], bc(beta_v)), wires_l[j]),
+                      bc(gamma_v))
+            perm_num = mul(perm_num, t_n)
+            perm_den = mul(perm_den, t_d)
+        perm = pk.sub(FR, perm_num, perm_den, interpret=interpret)
+
+        numerator = add(gate, mul(perm, bc(alpha_v)))
+        m1 = jnp.asarray(_const_mont(R - 1))
+        z_minus_1_l0 = mul(add(z_l, bc(m1)), l0_l)
+        numerator = add(numerator, mul(z_minus_1_l0, bc(alpha2_v)))
+        return mul(numerator, vanishing_inv)
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _perm_grand_product_jit(n: int, w: int, interpret: bool):
+    """Round 2's whole numerator/denominator/grand-product pipeline as ONE
+    program: ~30 eager dispatches of this chain cost ~12.5 s of wall at
+    2^20 through the remote-TPU path (each eager op's true cost only
+    surfaces at the next real synchronization), vs <1 s fused."""
+    def f(omega_pows, sigmas, wires, kbetas, beta_v, gamma_v):
+        def bc(c):
+            return jnp.broadcast_to(c, omega_pows.shape)
+        num = None
+        den = None
+        for j in range(w):
+            t_n = pk.add(FR, pk.mul(FR, omega_pows, bc(kbetas[j]),
+                                    interpret=interpret),
+                         wires[j], interpret=interpret)
+            t_n = pk.add(FR, t_n, bc(gamma_v), interpret=interpret)
+            t_d = pk.add(FR, pk.mul(FR, sigmas[j], bc(beta_v),
+                                    interpret=interpret),
+                         wires[j], interpret=interpret)
+            t_d = pk.add(FR, t_d, bc(gamma_v), interpret=interpret)
+            num = t_n if num is None else pk.mul(FR, num, t_n,
+                                                 interpret=interpret)
+            den = t_d if den is None else pk.mul(FR, den, t_d,
+                                                 interpret=interpret)
+        ratio = pk.mul(FR, num, _batch_inverse_body(den, n, interpret),
+                       interpret=interpret)
+        return _prefix_products_body(_shift_in_one(ratio), n, interpret)
     return jax.jit(f)
 
 
@@ -329,8 +462,49 @@ class JaxBackend:
         n = len(factors)
         return FrVec(_prefix_products_jit(n, self.interpret)(_shift_in_one(factors.data)))
 
+    def gate_residual(self, sel_v, wires_v, pi_vec) -> FrVec:
+        fn = _gate_residual_jit(self.interpret)
+        return FrVec(fn(tuple(q.data for q in sel_v),
+                        tuple(w.data for w in wires_v), pi_vec.data))
+
+    def any_nonzero(self, v: FrVec) -> bool:
+        # one scalar crosses the wire instead of the 64 MB limb pull
+        return bool(jax.device_get(_any_nonzero_jit()(v.data)))
+
+    def quotient_column(self, sel_l, wires_l, d_next_l, z_l, z_next_l,
+                        pi_l, x_coset, sigma_l, l0_l, vanishing_inv,
+                        beta: int, gamma: int, alpha: int, k_cols):
+        n = len(z_l)
+        fn = _quotient_column_jit(n, len(k_cols), self.interpret)
+        kbetas = tuple(jnp.asarray(_const_mont(k * beta % R))
+                       for k in k_cols)
+        alpha2 = alpha * alpha % R
+        return FrVec(fn(
+            tuple(v.data for v in sel_l), tuple(v.data for v in wires_l),
+            d_next_l.data, z_l.data, z_next_l.data, pi_l.data, x_coset.data,
+            tuple(v.data for v in sigma_l), l0_l.data, vanishing_inv.data,
+            kbetas, jnp.asarray(_const_mont(beta % R)),
+            jnp.asarray(_const_mont(gamma % R)),
+            jnp.asarray(_const_mont(alpha % R)),
+            jnp.asarray(_const_mont(alpha2))))
+
+    def permutation_grand_product(self, omega_pows, sigma_v, wires_v,
+                                  beta: int, gamma: int, k_cols) -> FrVec:
+        """z column for the permutation argument, fused end to end (see
+        backend.HostBackend.permutation_grand_product for the spec)."""
+        n = len(wires_v[0])
+        kbetas = tuple(jnp.asarray(_const_mont(k * beta % R))
+                       for k in k_cols)
+        fn = _perm_grand_product_jit(n, len(wires_v), self.interpret)
+        return FrVec(fn(omega_pows.data,
+                        tuple(s.data for s in sigma_v),
+                        tuple(w.data for w in wires_v),
+                        kbetas,
+                        jnp.asarray(_const_mont(beta % R)),
+                        jnp.asarray(_const_mont(gamma % R))))
+
     def batch_inverse(self, v: FrVec) -> FrVec:
-        return FrVec(_inverse_jit()(v.data))
+        return FrVec(_batch_inverse_jit(len(v), self.interpret)(v.data))
 
     def powers(self, base: int, n: int) -> FrVec:
         return FrVec(_pow_vec(_const_mont(base % R), n, self.interpret))

@@ -32,19 +32,13 @@ class ProvingError(Exception):
 
 
 def _validate_on_backend(b, sel_v, wires_v, pi_vec) -> None:
-    """Gate-identity satisfaction over prepared backend vectors (~12
-    batched ops; the per-row python loop took ~30 s at 2^20 inside every
-    prove).  Works for any backend — HostBackend's list ops included."""
-    q, w = sel_v, wires_v
-    acc = b.add(b.mul(q[0], w[0]), b.mul(q[1], w[1]))
-    acc = b.add(acc, b.mul(q[2], w[2]))
-    acc = b.add(acc, b.mul(q[3], w[3]))
-    acc = b.add(acc, b.mul(q[4], b.mul(w[0], w[1])))
-    acc = b.add(acc, q[5])
-    acc = b.add(acc, b.mul(q[6], b.rotate(w[3], 1)))
-    acc = b.add(acc, pi_vec)
-    vals = b.to_ints(acc)
-    if any(vals):
+    """Gate-identity satisfaction over prepared backend vectors (one fused
+    device program + a single-scalar any-nonzero pull; the per-row python
+    loop took ~30 s at 2^20 inside every prove).  Works for any backend —
+    HostBackend's list ops included."""
+    acc = b.gate_residual(sel_v, wires_v, pi_vec)
+    if b.any_nonzero(acc):
+        vals = b.to_ints(acc)
         row = next(i for i, v in enumerate(vals) if v)
         raise ProvingError(
             f"constraint system is not satisfied at row {row}")
@@ -169,24 +163,13 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
 
     # ---- round 2: grand product ----------------------------------------
     with stage("r2 grand product + commit"):
-        with stage("r2a terms"):
-            num = None
-            den = None
-            for j in range(STATE_WIDTH):
-                kj_beta = K_COLS[j] * beta % R
-                term_n = b.add_scalar(b.scale_add(ctx.omega_pows, kj_beta, wires_v[j]), gamma)
-                term_d = b.add_scalar(b.scale_add(ctx.sigma_v[j], beta, wires_v[j]), gamma)
-                num = term_n if num is None else b.mul(num, term_n)
-                den = term_d if den is None else b.mul(den, term_d)
-        with stage("r2b inverse+scan"):
-            ratio = b.mul(num, b.batch_inverse(den))
-            z_v = b.grand_product(ratio)
-            z_m = b.intt(z_v)
-        with stage("r2c commit"):
-            if ctx.lagrange_msm_ctx is not None:
-                z_comm = b.commit(ctx.lagrange_msm_ctx, z_v)
-            else:
-                z_comm = b.commit(ctx.msm_ctx, z_m)
+        z_v = b.permutation_grand_product(ctx.omega_pows, ctx.sigma_v,
+                                          wires_v, beta, gamma, K_COLS)
+        z_m = b.intt(z_v)
+        if ctx.lagrange_msm_ctx is not None:
+            z_comm = b.commit(ctx.lagrange_msm_ctx, z_v)
+        else:
+            z_comm = b.commit(ctx.msm_ctx, z_m)
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
 
@@ -201,31 +184,10 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     d_next_l = b.rotate(wires_l[3], LDE_FACTOR)
     z_next_l = b.rotate(z_l, LDE_FACTOR)
 
-    gate = b.mul(ctx.sel_l[0], wires_l[0])
-    gate = b.add(gate, b.mul(ctx.sel_l[1], wires_l[1]))
-    gate = b.add(gate, b.mul(ctx.sel_l[2], wires_l[2]))
-    gate = b.add(gate, b.mul(ctx.sel_l[3], wires_l[3]))
-    gate = b.add(gate, b.mul(ctx.sel_l[4], b.mul(wires_l[0], wires_l[1])))
-    gate = b.add(gate, ctx.sel_l[5])
-    gate = b.add(gate, b.mul(ctx.sel_l[6], d_next_l))
-    gate = b.add(gate, pi_l)
-
-    perm_num = z_l
-    perm_den = z_next_l
-    for j in range(STATE_WIDTH):
-        kj_beta = K_COLS[j] * beta % R
-        perm_num = b.mul(perm_num, b.add_scalar(
-            b.scale_add(ctx.x_coset, kj_beta, wires_l[j]), gamma))
-        perm_den = b.mul(perm_den, b.add_scalar(
-            b.scale_add(ctx.sigma_l[j], beta, wires_l[j]), gamma))
-    perm = b.sub(perm_num, perm_den)
-
     alpha2 = alpha * alpha % R
-    numerator = b.add(gate, b.scale(perm, alpha))
-    z_minus_1_l0 = b.mul(b.add_scalar(z_l, R - 1), ctx.l0_l)
-    numerator = b.add(numerator, b.scale(z_minus_1_l0, alpha2))
-
-    t_l = b.mul(numerator, ctx.vanishing_inv)
+    t_l = b.quotient_column(ctx.sel_l, wires_l, d_next_l, z_l, z_next_l,
+                            pi_l, ctx.x_coset, ctx.sigma_l, ctx.l0_l,
+                            ctx.vanishing_inv, beta, gamma, alpha, K_COLS)
     t_m = b.coset_intt(t_l)
     # t has degree <= 4n - 1 < 4(n+1); the top coefficients must vanish
     top = b.to_ints(b.slice(t_m, LDE_FACTOR * size - (LDE_FACTOR - 1), LDE_FACTOR * size))

@@ -102,8 +102,10 @@ def batch_scalar_mul_base(scalars):
 
 @lru_cache(maxsize=None)
 def _normalize_jit(n: int):
+    from . import pallas_kernels as pk
+
     def f(X, Y, Z):
-        zinv = mont.inverse(FQ, Z)
+        zinv = pk.batch_inverse(FQ, Z)
         zinv2 = mont.mont_mul(FQ, zinv, zinv)
         zinv3 = mont.mont_mul(FQ, zinv2, zinv)
         return (mont.mont_mul(FQ, X, zinv2), mont.mont_mul(FQ, Y, zinv3),

@@ -168,3 +168,38 @@ def butterfly(spec: FieldSpec, lo, hi, w, tile=DEFAULT_TILE, interpret=False):
 
 def butterfly_dif(spec: FieldSpec, lo, hi, w, tile=DEFAULT_TILE, interpret=False):
     return _elementwise_call('_butterfly_dif_body', spec, (lo, hi, w), tile, interpret, num_outputs=2)
+
+
+def batch_inverse(spec: FieldSpec, v, interpret: bool = False):
+    """Montgomery batch inversion over any field spec (zeros map to zero):
+    inclusive prefix/suffix product scans (Hillis-Steele fori, one mul per
+    round), ONE tiny scalar Fermat, two combining muls.  The elementwise
+    Fermat ladder (254 unfused CIOS rounds over the whole vector) measured
+    12.4 s at 2^20 on v5e; this is ~44 full-width muls (~0.1 s).  Must be
+    called under jit (or traced into one)."""
+    n = v.shape[1]
+    one = jnp.broadcast_to(
+        jnp.asarray(spec.one_mont_limbs[:, None], dtype=jnp.uint32), v.shape)
+    zero_mask = jnp.all(v == 0, axis=0)
+    x = jnp.where(zero_mask[None], one, v)
+    rounds = max(1, (n - 1).bit_length())
+
+    def scan(arr, suffix):
+        def body(i, pacc):
+            d = jnp.int32(1) << i
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+            mask = cols < (n - d) if suffix else cols >= d
+            rolled = jnp.roll(pacc, -d if suffix else d, axis=1)
+            rolled = jnp.where(mask[None], rolled, one)
+            return mul(spec, pacc, rolled, interpret=interpret)
+        return jax.lax.fori_loop(0, rounds, body, arr)
+
+    pre = scan(x, suffix=False)
+    suf = scan(x, suffix=True)
+    total_inv = mont.inverse(spec, pre[:, n - 1:n])
+    pre_excl = jnp.concatenate([one[:, :1], pre[:, :n - 1]], axis=1)
+    suf_excl = jnp.concatenate([suf[:, 1:], one[:, :1]], axis=1)
+    out = mul(spec, pre_excl, suf_excl, interpret=interpret)
+    out = mul(spec, out, jnp.broadcast_to(total_inv, v.shape),
+              interpret=interpret)
+    return jnp.where(zero_mask[None], 0, out)
