@@ -12,7 +12,9 @@ from typing import List, Optional
 from .curve import G1_GEN, G2_GEN, g1_mul, g2_mul
 from .fields import FR_MODULUS
 from .frontend.circuit import CircomCircuit
-from .frontend.transpiler import synthesize_witness, transpile
+from .frontend.transpiler import (build_witness_plan, synthesize_witness,
+                                  transpile)
+from .profiling import stage
 from .plonk.prover import ProverContext, prove as _prove
 from .plonk.setup import (SETUP_MAX_POW2, SETUP_MIN_POW2,
                           make_setup_polynomials, make_verification_key)
@@ -125,7 +127,10 @@ class SetupForProver:
 
     def __init__(self, circuit: CircomCircuit, key_monomial_form: Crs,
                  key_lagrange_form: Optional[Crs] = None, backend=None):
-        tc = transpile(circuit)
+        # one transpile; its witness plan replays witness extension per
+        # prove without re-transpiling (frontend/transpiler.WitnessPlan)
+        self._witness_plan = build_witness_plan(circuit)
+        tc = self._witness_plan.tc
         log.info("transpile done, gates_count %d hints size %d",
                  tc.num_constraint_gates, len(tc.hints))
         self.setup_polynomials = make_setup_polynomials(tc)
@@ -142,12 +147,13 @@ class SetupForProver:
 
     def validate_witness(self, circuit: CircomCircuit) -> None:
         from .plonk.prover import validate_witness
-        _, cols, pub = synthesize_witness(circuit)
+        cols, pub = self._witness_plan.evaluate(circuit.witness)
         validate_witness(self.setup_polynomials, cols, pub,
                          backend=self.backend)
 
     def prove(self, circuit: CircomCircuit, transcript: str = "keccak") -> Proof:
-        _, cols, pub = synthesize_witness(circuit)
+        with stage("witness synthesis"):
+            cols, pub = self._witness_plan.evaluate(circuit.witness)
         if self._prover_ctx is None:
             self._prover_ctx = ProverContext(self.setup_polynomials, self.crs,
                                              self.backend,

@@ -302,6 +302,36 @@ def _pow_vec(x_limb, n: int, interpret: bool):
 
 
 @lru_cache(maxsize=None)
+def _eval_many_jit(n: int, k: int, interpret: bool):
+    """Evaluate k length-n polynomials at one point in ONE fused program:
+    a single powers scan (20 mul rounds at 2^20 — the expensive part) is
+    shared by every polynomial, and one [16, k] pull returns all results.
+    The round-4 prover issued ~10 serial poly_eval calls, each recomputing
+    the powers vector and syncing the device for its 32-byte result."""
+    def f(stack, x_limb):  # stack [16, k, n]; x_limb [16, 1] Montgomery
+        xs = jnp.broadcast_to(x_limb, (NLIMBS, n))
+        pows = _prefix_products_body(_shift_in_one(xs), n, interpret)
+        pw = jnp.broadcast_to(pows[:, None, :], (NLIMBS, k, n))
+        prod = pk.mul(FR, stack.reshape(NLIMBS, k * n),
+                      pw.reshape(NLIMBS, k * n), interpret=interpret)
+        m = n
+        prod = prod.reshape(NLIMBS, k, m)
+        while m > 1:
+            half = m // 2
+            lo = prod[:, :, :half].reshape(NLIMBS, k * half)
+            hi = prod[:, :, half:2 * half].reshape(NLIMBS, k * half)
+            s = pk.add(FR, lo, hi, interpret=interpret).reshape(NLIMBS, k, half)
+            if m % 2:
+                prod = jnp.concatenate([s, prod[:, :, m - 1:m]], axis=2)
+                m = half + 1
+            else:
+                prod = s
+                m = half
+        return prod[:, :, 0]
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
 def _inner_eval_jit(n: int, interpret: bool):
     """sum_i c_i * p_i (elementwise mul then log-tree reduction)."""
     def f(c, p):
@@ -515,6 +545,16 @@ class JaxBackend:
         res = _inner_eval_jit(n, self.interpret)(coeffs.data, pows)
         return FR.from_mont_np(np.asarray(res))[0]
 
+    def poly_eval_many(self, polys: Sequence[FrVec], x: int) -> List[int]:
+        """All polynomials (same length) evaluated at one point: one fused
+        program, one device round-trip."""
+        n = len(polys[0])
+        assert all(len(p) == n for p in polys), "poly_eval_many: equal lengths"
+        stack = jnp.stack([p.data for p in polys], axis=1)
+        res = _eval_many_jit(n, len(polys), self.interpret)(
+            stack, jnp.asarray(_const_mont(x % R)))
+        return FR.from_mont_np(np.asarray(res))
+
     def divide_by_linear(self, coeffs: FrVec, point: int) -> FrVec:
         """Quotient of p(X) / (X - point), remainder dropped.
         q_k = z^-(k+1) * S_{k+1} where S_k = suffix sum of c_j z^j."""
@@ -538,6 +578,16 @@ class JaxBackend:
         if hasattr(msm_ctx, "msm_vec"):
             return msm_ctx.msm_vec(v.data)
         return msm_ctx.msm(self.to_ints(v))
+
+    def commit_many(self, msm_ctx, vs: Sequence[FrVec]):
+        """Batch commit: queue every MSM's fused program before resolving
+        any flag check, so the device pipeline never drains between the
+        prover's back-to-back commitments (4 wire commits, 4 quotient
+        chunk commits, 2 openings)."""
+        if hasattr(msm_ctx, "msm_vec_begin"):
+            handles = [msm_ctx.msm_vec_begin(v.data) for v in vs]
+            return [msm_ctx.msm_vec_end(h) for h in handles]
+        return [self.commit(msm_ctx, v) for v in vs]
 
     # -- memory placement ----------------------------------------------------
     # Large provers (the 2^22 aggregation circuit on a 16 GB v5e) keep

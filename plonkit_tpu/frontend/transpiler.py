@@ -128,6 +128,11 @@ class Transpiler:
         self.constraint_stats: List[ConstraintStat] = []
         # witness extension: values for transpiler-allocated variables
         self.extra_values: Dict[int, int] = {}
+        # defining LC for each transpiler-allocated variable, in allocation
+        # order: (terms, constant) with terms over earlier variables.  Purely
+        # structural — recorded with or without a bound witness — so a
+        # WitnessPlan can replay witness extension without re-transpiling.
+        self.defs: List[Tuple[Tuple[Tuple[Var, int], ...], int]] = []
 
     # -- witness access ---------------------------------------------------
 
@@ -148,10 +153,12 @@ class Transpiler:
             acc = (acc + c * self.value_of(v)) % R
         return acc
 
-    def _alloc(self, value: Optional[int]) -> Var:
+    def _alloc(self, value: Optional[int], lc=None) -> Var:
         var = Var("aux", self.next_aux)
         if self.circuit.witness is not None and value is not None:
             self.extra_values[self.next_aux] = value
+        if lc is not None:
+            self.defs.append(lc)
         self.next_aux += 1
         return var
 
@@ -182,7 +189,7 @@ class Transpiler:
         rest = work[STATE_WIDTH:]
         running = (constant + sum(c * self.value_of(v) for v, c in first)) % R \
             if self.circuit.witness is not None else None
-        acc = self._alloc(running)
+        acc = self._alloc(running, (tuple(first), constant))
         self.gates.append(Gate(
             wires=tuple(v for v, _ in first),
             q_a=first[0][1], q_b=first[1][1], q_c=first[2][1], q_d=first[3][1],
@@ -199,7 +206,7 @@ class Transpiler:
             if rest:
                 if self.circuit.witness is not None:
                     running = (running + sum(c * self.value_of(v) for v, c in chunk)) % R
-                acc = self._alloc(running)
+                acc = self._alloc(running, (tuple(chunk) + ((acc, 1),), 0))
                 gate.q_d_next = R - 1
             self.gates.append(gate)
 
@@ -209,7 +216,7 @@ class Transpiler:
         if len(terms) == 1 and constant == 0:
             return terms[0]
         value = self._lc_value(terms, constant) if self.circuit.witness is not None else None
-        out = self._alloc(value)
+        out = self._alloc(value, (tuple(terms), constant))
         self._emit_addition_gates(terms, constant, out)
         return (out, 1)
 
@@ -286,10 +293,50 @@ def transpile(circuit: CircomCircuit) -> TranspiledCircuit:
     )
 
 
-def synthesize_witness(circuit: CircomCircuit) -> Tuple[TranspiledCircuit, List[List[int]], List[int]]:
-    """Transpile with a bound witness; returns (transpiled, wire value columns
-    [a,b,c,d] over the unpadded trace, public input values)."""
-    assert circuit.witness is not None
+class WitnessPlan:
+    """Precompiled witness-assignment program for one circuit structure.
+
+    Re-running the transpiler per proof costs a full host-python pass over
+    every constraint (tens of seconds at 2^20 — it dominated the round-4
+    prove wall-time).  The structure is witness-independent, so this plan is
+    built once (SetupForProver.__init__) and each prove only (a) evaluates
+    the transpiler-allocated variables' defining LCs in allocation order and
+    (b) gathers the wire columns through flat index lists.  Mirrors the
+    reference's per-prove synthesize (src/plonk.rs:140-170) at plan-eval
+    cost instead of transpile cost."""
+
+    __slots__ = ("tc", "witness_len", "prog", "wire_idx", "pub_idx",
+                 "dummy_idx")
+
+    def __init__(self, tc: TranspiledCircuit, witness_len: int, prog,
+                 wire_idx, pub_idx, dummy_idx):
+        self.tc = tc
+        self.witness_len = witness_len
+        self.prog = prog          # [(((flat_idx, coeff), ...), constant)]
+        self.wire_idx = wire_idx  # 4 lists of flat indices over all gates
+        self.pub_idx = pub_idx
+        self.dummy_idx = dummy_idx
+
+    def evaluate(self, witness: List[int]) -> Tuple[List[List[int]], List[int]]:
+        """(wire columns [a,b,c,d], public inputs) for one witness vector."""
+        assert len(witness) == self.witness_len, \
+            (len(witness), self.witness_len)
+        vals = list(witness)
+        append = vals.append
+        for terms, const in self.prog:
+            acc = const
+            for s, c in terms:
+                acc += c * vals[s]
+            append(acc % R)
+        append(0)  # dummy slot (self.dummy_idx)
+        columns = [list(map(vals.__getitem__, idx)) for idx in self.wire_idx]
+        public_inputs = [vals[i] for i in self.pub_idx]
+        return columns, public_inputs
+
+
+def build_witness_plan(circuit: CircomCircuit) -> WitnessPlan:
+    """Transpile once (witness not required) and compile the wire/value
+    index program.  The returned plan's .tc is the transpiled circuit."""
     t = Transpiler(circuit)
     for index, a, b, c in circuit.nontrivial_constraints():
         t.enforce(index, a, b, c)
@@ -300,9 +347,42 @@ def synthesize_witness(circuit: CircomCircuit) -> Tuple[TranspiledCircuit, List[
         hints=t.hints,
         constraint_stats=t.constraint_stats,
     )
-    columns = [[], [], [], []]
-    for g in tc.all_gates():
-        for j in range(STATE_WIDTH):
-            columns[j].append(t.value_of(g.wires[j]))
-    public_inputs = [t.value_of(Var("input", i)) for i in range(1, t.num_input_variables + 1)]
-    return tc, columns, public_inputs
+    r1cs = circuit.r1cs
+    if circuit.witness is not None:
+        witness_len = len(circuit.witness)
+    elif circuit.wire_mapping is not None:
+        witness_len = max(circuit.wire_mapping) + 1
+    else:
+        witness_len = r1cs.num_inputs + r1cs.num_aux
+    num_extras = (t.next_aux - 1) - r1cs.num_aux
+    assert num_extras == len(t.defs), (num_extras, len(t.defs))
+    dummy_idx = witness_len + num_extras
+    mapping = circuit.wire_mapping
+
+    def flat(var: Var) -> int:
+        if var == DUMMY:
+            return dummy_idx
+        if var.kind == "input":
+            wire = var.index
+        else:
+            if var.index > r1cs.num_aux:  # transpiler-allocated
+                return witness_len + (var.index - r1cs.num_aux - 1)
+            wire = var.index - circuit.aux_offset + r1cs.num_inputs
+        return mapping[wire] if mapping is not None else wire
+
+    prog = [(tuple((flat(v), c) for v, c in terms), const)
+            for terms, const in t.defs]
+    wire_idx = [[flat(g.wires[j]) for g in tc.all_gates()]
+                for j in range(STATE_WIDTH)]
+    pub_idx = [flat(Var("input", i))
+               for i in range(1, t.num_input_variables + 1)]
+    return WitnessPlan(tc, witness_len, prog, wire_idx, pub_idx, dummy_idx)
+
+
+def synthesize_witness(circuit: CircomCircuit) -> Tuple[TranspiledCircuit, List[List[int]], List[int]]:
+    """Transpile with a bound witness; returns (transpiled, wire value columns
+    [a,b,c,d] over the unpadded trace, public input values)."""
+    assert circuit.witness is not None
+    plan = build_witness_plan(circuit)
+    columns, public_inputs = plan.evaluate(circuit.witness)
+    return plan.tc, columns, public_inputs

@@ -71,6 +71,22 @@ def validate_witness(setup: SetupPolynomials, wire_columns: List[List[int]],
             raise ProvingError(f"constraint system is not satisfied at row {row}")
 
 
+def _commit_many(b, msm_ctx, vs):
+    """Batched commits when the backend supports it (queue all programs,
+    then resolve flags), per-commit otherwise."""
+    f = getattr(b, "commit_many", None)
+    if f is not None:
+        return f(msm_ctx, vs)
+    return [b.commit(msm_ctx, v) for v in vs]
+
+
+def _eval_many(b, polys, x):
+    f = getattr(b, "poly_eval_many", None)
+    if f is not None:
+        return f(polys, x)
+    return [b.poly_eval(p, x) for p in polys]
+
+
 class ProverContext:
     """Device-resident prover state reusable across proofs for one circuit:
     setup polynomials (value + monomial + LDE forms) and the SRS MSM tables."""
@@ -153,9 +169,9 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     with stage("r1 wires: intt + 4 commits"):
         wires_m = [b.intt(v) for v in wires_v]
         if ctx.lagrange_msm_ctx is not None:
-            wire_comms = [b.commit(ctx.lagrange_msm_ctx, v) for v in wires_v]
+            wire_comms = _commit_many(b, ctx.lagrange_msm_ctx, wires_v)
         else:
-            wire_comms = [b.commit(ctx.msm_ctx, m) for m in wires_m]
+            wire_comms = _commit_many(b, ctx.msm_ctx, wires_m)
     for p in wire_comms:
         transcript.update_g1(p)
     beta = transcript.get_challenge()
@@ -195,7 +211,7 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
         raise ProvingError("quotient degree check failed (unsatisfied witness?)")
 
     t_chunks = [b.slice(t_m, i * size, (i + 1) * size) for i in range(LDE_FACTOR)]
-    t_comms = [b.commit(ctx.msm_ctx, ch) for ch in t_chunks]
+    t_comms = _commit_many(b, ctx.msm_ctx, t_chunks)
     _r3.__exit__(None, None, None)
     for p in t_comms:
         transcript.update_g1(p)
@@ -205,17 +221,23 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     _r4 = stage("r4 evaluations + linearization")
     _r4.__enter__()
     zeta_omega = zeta * omega % R
-    wire_evals = [b.poly_eval(m, zeta) for m in wires_m]
+    # all 11 zeta evaluations in one fused program, both zeta*omega
+    # evaluations in a second — instead of 13 serial powers-scan + pull
+    # round trips
+    evals_z = _eval_many(
+        b, wires_m + [ctx.sigma_m[j] for j in range(STATE_WIDTH - 1)]
+        + t_chunks, zeta)
+    wire_evals = evals_z[:STATE_WIDTH]
     a_z, b_z, c_z, d_z = wire_evals
-    d_zw = b.poly_eval(wires_m[3], zeta_omega)
-    z_zw = b.poly_eval(z_m, zeta_omega)
-    sigma_z = [b.poly_eval(ctx.sigma_m[j], zeta) for j in range(STATE_WIDTH - 1)]
+    sigma_z = evals_z[STATE_WIDTH:STATE_WIDTH + STATE_WIDTH - 1]
+    t_chunk_z = evals_z[STATE_WIDTH + STATE_WIDTH - 1:]
+    d_zw, z_zw = _eval_many(b, [wires_m[3], z_m], zeta_omega)
 
     zeta_n = pow(zeta, size, R)
     t_z = 0
     power = 1
-    for ch in t_chunks:
-        t_z = (t_z + power * b.poly_eval(ch, zeta)) % R
+    for ez in t_chunk_z:
+        t_z = (t_z + power * ez) % R
         power = power * zeta_n % R
 
     vanishing_z = (pow(zeta, size, R) - 1) % R
@@ -269,12 +291,11 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
         vpow = vpow * v % R
         agg = b.scale_add(ctx.sigma_m[j], vpow, agg)
     w_z = b.divide_by_linear(agg, zeta)
-    opening_z = b.commit(ctx.msm_ctx, w_z)
 
     v9 = pow(v, 9, R)
     agg_w = b.scale_add(wires_m[3], v9 * v % R, b.scale(z_m, v9))
     w_zw = b.divide_by_linear(agg_w, zeta_omega)
-    opening_zw = b.commit(ctx.msm_ctx, w_zw)
+    opening_z, opening_zw = _commit_many(b, ctx.msm_ctx, [w_z, w_zw])
     _r5.__exit__(None, None, None)
 
     return Proof(

@@ -639,25 +639,46 @@ class MSMContext:
 
         return self._finish(run_chunk, lambda: scalars)
 
+    def _vec_run_chunk(self, v_mont, ck, s, e, uni_key, mid_key, top_key):
+        n_in = v_mont.shape[1]
+        m = max(0, min(e, n_in) - s)
+        v = v_mont[:, s:s + m] if m else \
+            jnp.zeros((v_mont.shape[0], 0), v_mont.dtype)
+        fn = _msm_vec_jit(ck.n8, m, ck.lanes, self.c, self.num_windows,
+                          uni_key, mid_key, top_key, self._use_pallas)
+        return fn(ck.tbl, v)
+
+    def msm_vec_begin(self, v_mont):
+        """Queue the fused MSM programs for every chunk WITHOUT syncing the
+        device; resolve with msm_vec_end.  Lets callers dispatch several
+        commitments back-to-back (the prover's 4 wire commits, 4 quotient
+        commits) so the per-MSM flag check doesn't serialize the queue."""
+        pend = [(ck, i * MAX_CHUNK, i * MAX_CHUNK + ck.n,
+                 self._vec_run_chunk(v_mont, ck, i * MAX_CHUNK,
+                                     i * MAX_CHUNK + ck.n, ck.uni_key,
+                                     ck.mid_key, ck.top_key))
+                for i, ck in enumerate(self.chunks)]
+        return (v_mont, pend)
+
+    def msm_vec_end(self, handle) -> "host affine point":
+        v_mont, pend = handle
+
+        def run_chunk(ck, s, e, uni_key, mid_key, top_key):
+            return self._vec_run_chunk(v_mont, ck, s, e, uni_key, mid_key,
+                                       top_key)
+
+        def fallback_scalars():
+            n_in = v_mont.shape[1]
+            return mont.FR.from_mont_np(np.asarray(v_mont)) + \
+                [0] * (self.n - n_in)
+
+        return self._finish(run_chunk, fallback_scalars, pend=pend)
+
     def msm_vec(self, v_mont) -> "host affine point":
         """v_mont: [16, N] device Montgomery Fr limbs (N <= n).  One fused
         dispatch per chunk: digits are extracted on device, no python-int
         round trip."""
-        n_in = v_mont.shape[1]
-
-        def run_chunk(ck, s, e, uni_key, mid_key, top_key):
-            m = max(0, min(e, n_in) - s)
-            v = v_mont[:, s:s + m] if m else \
-                jnp.zeros((v_mont.shape[0], 0), v_mont.dtype)
-            fn = _msm_vec_jit(ck.n8, m, ck.lanes, self.c, self.num_windows,
-                              uni_key, mid_key, top_key, self._use_pallas)
-            return fn(ck.tbl, v)
-
-        def fallback_scalars():
-            return mont.FR.from_mont_np(np.asarray(v_mont)) + \
-                [0] * (self.n - n_in)
-
-        return self._finish(run_chunk, fallback_scalars)
+        return self.msm_vec_end(self.msm_vec_begin(v_mont))
 
     def _host_fallback(self, fallback_scalars):
         from ..curve import g1_msm_host
@@ -673,12 +694,15 @@ class MSMContext:
             return res
         return g1_msm_host(self.host_points, scalars)
 
-    def _finish(self, run_chunk, fallback_scalars):
+    def _finish(self, run_chunk, fallback_scalars, pend=None):
+        if pend is None:
+            pend = [(ck, i * MAX_CHUNK, i * MAX_CHUNK + ck.n,
+                     run_chunk(ck, i * MAX_CHUNK, i * MAX_CHUNK + ck.n,
+                               ck.uni_key, ck.mid_key, ck.top_key))
+                    for i, ck in enumerate(self.chunks)]
         results = []
-        for i, ck in enumerate(self.chunks):
-            s, e = i * MAX_CHUNK, i * MAX_CHUNK + ck.n
-            res, ovf, bad = run_chunk(ck, s, e, ck.uni_key, ck.mid_key,
-                                      ck.top_key)
+        for i, (ck, s, e, out) in enumerate(pend):
+            res, ovf, bad = out
             ovf_np, bad_np, res_np = jax.device_get((ovf, bad, res))
             if bool(ovf_np) and not bool(bad_np):
                 # a lane run exceeded the tight r_max: retry on device with
