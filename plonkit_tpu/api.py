@@ -153,7 +153,17 @@ class SetupForProver:
 
     def prove(self, circuit: CircomCircuit, transcript: str = "keccak") -> Proof:
         with stage("witness synthesis"):
-            cols, pub = self._witness_plan.evaluate(circuit.witness)
+            backend = self.backend
+            if backend is None:
+                from .backend import default_backend
+                self.backend = backend = default_backend()
+            if hasattr(backend, "from_raw_limbs"):
+                size = self.setup_polynomials.domain_size
+                raw_cols, pub = self._witness_plan.evaluate_limbs(
+                    circuit.witness, size)
+                cols = [backend.from_raw_limbs(rc) for rc in raw_cols]
+            else:
+                cols, pub = self._witness_plan.evaluate(circuit.witness)
         if self._prover_ctx is None:
             self._prover_ctx = ProverContext(self.setup_polynomials, self.crs,
                                              self.backend,

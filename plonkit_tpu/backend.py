@@ -218,6 +218,37 @@ class HostBackend:
         return [0] * n
 
 
+def from_ints_dedup(backend, values, pad_to: int = None):
+    """backend.from_ints with distinct-value limb conversion: setup
+    polynomials (selectors, permutations) repeat a small set of
+    coefficients over the whole domain, so converting each DISTINCT value
+    to limbs once and numpy-gathering the column turns the ~1-2 s/vector
+    python-int -> bytes cost of a 2^20 from_ints into milliseconds.
+    make vk at 2^20 was 21.9 s of exactly this (11 commits x from_ints);
+    the MSMs themselves were fine."""
+    if not hasattr(backend, "from_raw_limbs"):
+        return backend.from_ints(values, pad_to=pad_to)
+    import numpy as np
+
+    from .tpu.mont import FR
+    uniq = {}
+    n = len(values)
+    total = pad_to if pad_to is not None and pad_to > n else n
+    idx = np.empty(total, dtype=np.int64)
+    for i, v in enumerate(values):
+        j = uniq.get(v)
+        if j is None:
+            j = uniq[v] = len(uniq)
+        idx[i] = j
+    if total > n:
+        z = uniq.get(0)
+        if z is None:
+            z = uniq[0] = len(uniq)
+        idx[n:] = z
+    limbs = FR.to_limbs_np(list(uniq))          # [16, n_distinct]
+    return backend.from_raw_limbs(np.ascontiguousarray(limbs[:, idx]))
+
+
 _default = None
 
 

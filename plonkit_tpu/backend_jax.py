@@ -301,53 +301,59 @@ def _pow_vec(x_limb, n: int, interpret: bool):
     return _prefix_products_jit(n, interpret)(_shift_in_one(xs))
 
 
+def _limb_sum_split(prod, n: int):
+    """Carry-deferred limb sum over the last axis: [..., 16-limb, n] u32
+    (each limb < 2^16) -> ([..., 16] lo u32, [..., 16] hi u32).  Fr
+    addition is linear, so the sum of reduced Montgomery products can be
+    taken limb-wise as plain integers and reduced mod p ONCE on host — no
+    log(n)-round modular adder tree (whose per-round shapes each cost a
+    pallas compile).  All-u32 staging (TPU JAX has no x64): inner chunks
+    of <= 2^13 terms (2^13 * 2^16 < 2^29), then the partials split into
+    16-bit halves summed separately (m <= 2^13 partials: lo < 2^29,
+    hi < 2^13 each, both safely in u32)."""
+    inner = 1
+    while inner * inner < n and inner < (1 << 13):
+        inner *= 2
+    if n % inner:
+        pad = inner - n % inner
+        prod = jnp.pad(prod, [(0, 0)] * (prod.ndim - 1) + [(0, pad)])
+    m = prod.shape[-1] // inner
+    assert m <= (1 << 16), (n, inner, m)
+    shape = prod.shape[:-1] + (m, inner)
+    partial = jnp.sum(prod.reshape(shape), axis=-1, dtype=jnp.uint32)
+    lo = jnp.sum(partial & jnp.uint32(0xFFFF), axis=-1, dtype=jnp.uint32)
+    hi = jnp.sum(partial >> 16, axis=-1, dtype=jnp.uint32)
+    return lo, hi
+
+
+def _limb_sums_to_ints(lo, hi) -> List[int]:
+    """([16, k] lo, [16, k] hi) u32 limb sums -> canonical ints (one mod +
+    from-Montgomery per value, on host)."""
+    inv_r = pow(1 << 256, -1, R)
+    lo_np, hi_np = np.asarray(lo), np.asarray(hi)
+    out = []
+    for j in range(lo_np.shape[1]):
+        v = sum((int(lo_np[i, j]) + (int(hi_np[i, j]) << 16)) << (16 * i)
+                for i in range(lo_np.shape[0]))
+        out.append(v % R * inv_r % R)
+    return out
+
+
 @lru_cache(maxsize=None)
 def _eval_many_jit(n: int, k: int, interpret: bool):
     """Evaluate k length-n polynomials at one point in ONE fused program:
     a single powers scan (20 mul rounds at 2^20 — the expensive part) is
-    shared by every polynomial, and one [16, k] pull returns all results.
-    The round-4 prover issued ~10 serial poly_eval calls, each recomputing
-    the powers vector and syncing the device for its 32-byte result."""
+    shared by every polynomial; the inner products are carry-deferred limb
+    sums (see _limb_sum_u64) finished on host.  One [16, k] u64 pull
+    returns all results.  The round-4 prover issued ~10 serial poly_eval
+    calls, each recomputing the powers vector and syncing the device."""
     def f(stack, x_limb):  # stack [16, k, n]; x_limb [16, 1] Montgomery
         xs = jnp.broadcast_to(x_limb, (NLIMBS, n))
         pows = _prefix_products_body(_shift_in_one(xs), n, interpret)
         pw = jnp.broadcast_to(pows[:, None, :], (NLIMBS, k, n))
         prod = pk.mul(FR, stack.reshape(NLIMBS, k * n),
                       pw.reshape(NLIMBS, k * n), interpret=interpret)
-        m = n
-        prod = prod.reshape(NLIMBS, k, m)
-        while m > 1:
-            half = m // 2
-            lo = prod[:, :, :half].reshape(NLIMBS, k * half)
-            hi = prod[:, :, half:2 * half].reshape(NLIMBS, k * half)
-            s = pk.add(FR, lo, hi, interpret=interpret).reshape(NLIMBS, k, half)
-            if m % 2:
-                prod = jnp.concatenate([s, prod[:, :, m - 1:m]], axis=2)
-                m = half + 1
-            else:
-                prod = s
-                m = half
-        return prod[:, :, 0]
-    return jax.jit(f)
-
-
-@lru_cache(maxsize=None)
-def _inner_eval_jit(n: int, interpret: bool):
-    """sum_i c_i * p_i (elementwise mul then log-tree reduction)."""
-    def f(c, p):
-        prod = pk.mul(FR, c, p, interpret=interpret)
-        m = n
-        while m > 1:
-            half = m // 2
-            if m % 2:
-                tail = prod[:, m - 1:m]
-                prod = pk.add(FR, prod[:, :half], prod[:, half:m - 1 + 1][:, :half], interpret=interpret)
-                prod = jnp.concatenate([prod, tail], axis=1)
-                m = half + 1
-            else:
-                prod = pk.add(FR, prod[:, :half], prod[:, half:], interpret=interpret)
-                m = half
-        return prod
+        return _limb_sum_split(prod.reshape(NLIMBS, k, n), n)
     return jax.jit(f)
 
 
@@ -372,6 +378,13 @@ class JaxBackend:
         # fallback for u16 arrays, so the half-width format loses.
         raw = push_dev(FR.to_limbs_np(vals))
         return FrVec(_to_mont_jit()(raw))
+
+    def from_raw_limbs(self, raw) -> FrVec:
+        """[16, N] uint32 raw (canonical) limb array -> device Montgomery
+        vector.  The witness fast path: the WitnessPlan emits raw limbs
+        directly (one conversion per distinct value), skipping the
+        python-int column round trip."""
+        return FrVec(_to_mont_jit()(push_dev(raw)))
 
     def to_ints(self, v: FrVec) -> List[int]:
         # jitted from-Montgomery (the eager CIOS graph costs ~75 s of
@@ -540,10 +553,7 @@ class JaxBackend:
         return FrVec(_pow_vec(_const_mont(base % R), n, self.interpret))
 
     def poly_eval(self, coeffs: FrVec, x: int) -> int:
-        n = len(coeffs)
-        pows = _pow_vec(_const_mont(x % R), n, self.interpret)
-        res = _inner_eval_jit(n, self.interpret)(coeffs.data, pows)
-        return FR.from_mont_np(np.asarray(res))[0]
+        return self.poly_eval_many([coeffs], x)[0]
 
     def poly_eval_many(self, polys: Sequence[FrVec], x: int) -> List[int]:
         """All polynomials (same length) evaluated at one point: one fused
@@ -551,9 +561,9 @@ class JaxBackend:
         n = len(polys[0])
         assert all(len(p) == n for p in polys), "poly_eval_many: equal lengths"
         stack = jnp.stack([p.data for p in polys], axis=1)
-        res = _eval_many_jit(n, len(polys), self.interpret)(
+        lo, hi = _eval_many_jit(n, len(polys), self.interpret)(
             stack, jnp.asarray(_const_mont(x % R)))
-        return FR.from_mont_np(np.asarray(res))
+        return _limb_sums_to_ints(lo, hi)
 
     def divide_by_linear(self, coeffs: FrVec, point: int) -> FrVec:
         """Quotient of p(X) / (X - point), remainder dropped.

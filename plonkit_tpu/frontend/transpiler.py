@@ -306,7 +306,7 @@ class WitnessPlan:
     cost instead of transpile cost."""
 
     __slots__ = ("tc", "witness_len", "prog", "wire_idx", "pub_idx",
-                 "dummy_idx")
+                 "dummy_idx", "_wire_idx_np")
 
     def __init__(self, tc: TranspiledCircuit, witness_len: int, prog,
                  wire_idx, pub_idx, dummy_idx):
@@ -316,9 +316,9 @@ class WitnessPlan:
         self.wire_idx = wire_idx  # 4 lists of flat indices over all gates
         self.pub_idx = pub_idx
         self.dummy_idx = dummy_idx
+        self._wire_idx_np = None
 
-    def evaluate(self, witness: List[int]) -> Tuple[List[List[int]], List[int]]:
-        """(wire columns [a,b,c,d], public inputs) for one witness vector."""
+    def _values(self, witness: List[int]) -> List[int]:
         assert len(witness) == self.witness_len, \
             (len(witness), self.witness_len)
         vals = list(witness)
@@ -329,9 +329,38 @@ class WitnessPlan:
                 acc += c * vals[s]
             append(acc % R)
         append(0)  # dummy slot (self.dummy_idx)
+        return vals
+
+    def evaluate(self, witness: List[int]) -> Tuple[List[List[int]], List[int]]:
+        """(wire columns [a,b,c,d], public inputs) for one witness vector."""
+        vals = self._values(witness)
         columns = [list(map(vals.__getitem__, idx)) for idx in self.wire_idx]
         public_inputs = [vals[i] for i in self.pub_idx]
         return columns, public_inputs
+
+    def evaluate_limbs(self, witness: List[int], pad_to: int):
+        """(wire columns as [16, pad_to] uint32 raw limb arrays, public
+        inputs as ints).  Converts each DISTINCT value to limbs once and
+        numpy-gathers the columns — the wire columns repeat variables
+        heavily, so this does ~5x less python-int -> bytes work than
+        converting the four expanded columns (the dominant host cost of
+        the witness-transfer prove stage at 2^20)."""
+        import numpy as np
+        from ..tpu.mont import FR
+        vals = self._values(witness)
+        limbs = FR.to_limbs_np(vals)                     # [16, n_vals]
+        if self._wire_idx_np is None:
+            self._wire_idx_np = [np.asarray(idx, dtype=np.int64)
+                                 for idx in self.wire_idx]
+        cols = []
+        for idx in self._wire_idx_np:
+            if pad_to > idx.shape[0]:
+                idx = np.concatenate(
+                    [idx, np.full(pad_to - idx.shape[0], self.dummy_idx,
+                                  dtype=np.int64)])
+            cols.append(np.ascontiguousarray(limbs[:, idx[:pad_to]]))
+        public_inputs = [vals[i] for i in self.pub_idx]
+        return cols, public_inputs
 
 
 def build_witness_plan(circuit: CircomCircuit) -> WitnessPlan:

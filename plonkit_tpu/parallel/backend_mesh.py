@@ -70,6 +70,9 @@ class MeshBackend(JaxBackend):
     def from_ints(self, values: Sequence[int], pad_to: int = None) -> FrVec:
         return self._place(super().from_ints(values, pad_to).data)
 
+    def from_raw_limbs(self, raw) -> FrVec:
+        return self._place(super().from_raw_limbs(raw).data)
+
     def zeros(self, n: int) -> FrVec:
         return self._place(super().zeros(n).data)
 
@@ -138,34 +141,67 @@ class MeshBackend(JaxBackend):
 
     # -- MSM -----------------------------------------------------------------
 
+    def _use_dist_msm(self, size: int) -> bool:
+        # PLONKIT_TPU_MESH_MSM: auto (default) = distributed on real
+        # devices, host context on the CPU test mesh (the EC window
+        # kernel's XLA-CPU compile takes minutes); force = always
+        # distributed (the slow tier uses it to run the sharded MSM inside
+        # a real prove); host = never
+        import os
+        mode = os.environ.get("PLONKIT_TPU_MESH_MSM", "auto")
+        if mode == "force":
+            return True
+        if mode == "host":
+            return False
+        return size > 4096 and jax.default_backend() != "cpu"
+
     def msm_context(self, bases, key=None):
         if key is not None and key in self._msm_cache:
             ctx = self._msm_cache[key]
             if ctx.n >= len(bases):
                 return ctx
-        if len(bases) <= 4096 or jax.default_backend() == "cpu":
-            # tiny MSMs (and the CPU test mesh, where the EC window kernel's
-            # XLA compile takes minutes) keep the host/native context
+        if not self._use_dist_msm(len(bases)):
             from ..backend import _HostMSMContext
             ctx = _HostMSMContext(bases)
         else:
             from .msm import DistributedMSMContext
-            ctx = DistributedMSMContext(self.mesh, bases)
+            ctx = DistributedMSMContext(self.mesh, bases, c=self._dist_c())
         if key is not None:
             self._msm_cache[key] = ctx
         return ctx
+
+    @staticmethod
+    def _dist_c() -> int:
+        # narrower digits shrink the XLA-CPU compile of the EC window
+        # graphs; the slow tier sets 8 when forcing the sharded MSM on the
+        # virtual mesh (production TPU meshes keep the default)
+        import os
+        return int(os.environ.get("PLONKIT_TPU_DIST_MSM_C", "12"))
 
     def msm_context_from_crs(self, crs, size: int, key=None):
         if key is not None and key in self._msm_cache:
             ctx = self._msm_cache[key]
             if ctx.n >= size:
                 return ctx
-        if size <= 4096 or jax.default_backend() == "cpu":
+        if not self._use_dist_msm(size):
             from ..backend import _HostMSMContext
             ctx = _HostMSMContext(crs.g1_bases[:size])
         else:
+            from ..serialization import CrsHandle
+            from ..tpu import mont
             from .msm import DistributedMSMContext
-            ctx = DistributedMSMContext(self.mesh, crs.g1_bases[:size])
+            if isinstance(crs, CrsHandle):
+                # streaming limb path: no host python points materialized
+                x_raw, y_raw, inf = crs.g1_limbs(size)
+                to_mont = jax.jit(lambda r: mont.to_mont(mont.FQ, r))
+                ctx = DistributedMSMContext.from_device_affine(
+                    self.mesh, to_mont(jnp.asarray(x_raw)),
+                    to_mont(jnp.asarray(y_raw)), jnp.asarray(inf),
+                    c=self._dist_c(),
+                    host_points_loader=lambda h=crs: h.g1_bases)
+            else:
+                ctx = DistributedMSMContext(self.mesh, crs.g1_bases[:size],
+                                            c=self._dist_c())
         if key is not None:
             self._msm_cache[key] = ctx
         return ctx

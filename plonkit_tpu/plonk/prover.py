@@ -111,13 +111,16 @@ class ProverContext:
             assert num_l >= size, "lagrange SRS too small for circuit"
             self.lagrange_msm_ctx = backend.msm_context_from_crs(
                 crs_lagrange, size, key=("srs-l", id(crs_lagrange), size))
+        from ..backend import from_ints_dedup
         b = backend
-        self.sel_v = [b.from_ints(s) for s in setup.selectors]
+        # setup polynomials repeat few distinct coefficients: dedup limb
+        # conversion (see backend.from_ints_dedup)
+        self.sel_v = [from_ints_dedup(b, s) for s in setup.selectors]
         self.sel_m = [b.intt(v) for v in self.sel_v]
-        self.sigma_m = [b.intt(b.from_ints(s)) for s in setup.permutations]
+        self.sigma_v = [from_ints_dedup(b, s) for s in setup.permutations]
+        self.sigma_m = [b.intt(v) for v in self.sigma_v]
         self.sel_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sel_m]
         self.sigma_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sigma_m]
-        self.sigma_v = [b.from_ints(s) for s in setup.permutations]
         # L_0 over the coset LDE
         l0 = [0] * size
         l0[0] = 1
@@ -152,9 +155,14 @@ def prove(setup: SetupPolynomials, wire_columns: List[List[int]],
     omega = ctx.omega
 
     # one host->device conversion per wire, shared by the satisfaction
-    # check and round 1 (the transfer, not the math, is the cost)
+    # check and round 1 (the transfer, not the math, is the cost).
+    # Columns may arrive pre-built as backend vectors (SetupForProver's
+    # raw-limb fast path) — anything that isn't a plain int list is
+    # assumed device-ready.
     with stage("witness transfer"):
-        wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
+        wires_v = [col if not isinstance(col, list)
+                   else b.from_ints(col, pad_to=size)
+                   for col in wire_columns]
         pi_vec = b.from_ints(list(public_inputs), pad_to=size)
 
     if not skip_validation:

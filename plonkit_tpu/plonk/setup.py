@@ -89,8 +89,10 @@ def make_verification_key(setup: SetupPolynomials, crs: Crs, backend=None) -> Ve
     assert num_g1 >= size, "SRS too small for circuit"
     msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
 
+    from ..backend import from_ints_dedup
+
     def commit(values):
-        coeffs = backend.intt(backend.from_ints(values))
+        coeffs = backend.intt(from_ints_dedup(backend, values))
         return backend.commit(msm_ctx, coeffs)
 
     sel_comms = [commit(setup.selectors[i]) for i in range(6)]

@@ -32,11 +32,21 @@ fork (the same machinery generates their Poseidon parameters):
     *Montgomery* representation, so the field value is repr * 2^-256
     mod p.  After distinctness checks, m[i][j] = 1 / (x_i + y_j).
 
-Every derived constant is pinned in tests/test_rescue.py as anchors.
-No rescue-transcript artifact from the reference exists in this image
-(test/ carries keccak proofs only), so the recovery is validated by
-procedure + anchor pinning rather than against an upstream vector; the
-procedure above is the complete generation path and is deterministic.
+Validation status (tests/test_rescue.py):
+  * ChaCha core — EXTERNALLY validated two ways: against the keystream
+    vector published with the ChaCha spec (pinned verbatim in rand 0.4's
+    own test_rng_true_values) and against OpenSSL's ChaCha20 via the
+    `cryptography` package, including for the ACTUAL ResM0003 seed that
+    generates the MDS matrix (constants, rounds, word order, counter
+    placement all covered).
+  * Blake2s core — hashlib (an independent RFC 7693 implementation),
+    additionally pinned with the RFC's "abc" vector; the person= field
+    mapping is hashlib's RFC-conformant implementation.
+  * Remaining internally-validated joints: the Blake2s nonce byte order
+    (BE32, per sapling-crypto's group-hash convention), and Fr::rand's
+    Montgomery-repr interpretation (pinned by a semantics test only — no
+    upstream rescue artifact exists in this image to diff against).
+All derived constants are additionally pinned as anchors.
 """
 
 from hashlib import blake2s

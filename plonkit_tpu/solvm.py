@@ -373,8 +373,18 @@ class Parser:
     def parse_or(self):
         return self._binop_level(self.parse_and, ("||",))
 
+    # Solidity precedence (0.8.x, loosest to tightest): || > && > == != >
+    # < > <= >= > | > ^ > & > << >> > + - > * / % — bitwise operators bind
+    # TIGHTER than comparisons, the opposite of C, so an unparenthesized
+    # `a & b == c` must parse as `(a & b) == c`.
     def parse_and(self):
-        return self._binop_level(self.parse_bitor, ("&&",))
+        return self._binop_level(self.parse_eq, ("&&",))
+
+    def parse_eq(self):
+        return self._binop_level(self.parse_rel, ("==", "!="))
+
+    def parse_rel(self):
+        return self._binop_level(self.parse_bitor, ("<", ">", "<=", ">="))
 
     def parse_bitor(self):
         return self._binop_level(self.parse_bitxor, ("|",))
@@ -383,13 +393,7 @@ class Parser:
         return self._binop_level(self.parse_bitand, ("^",))
 
     def parse_bitand(self):
-        return self._binop_level(self.parse_eq, ("&",))
-
-    def parse_eq(self):
-        return self._binop_level(self.parse_rel, ("==", "!="))
-
-    def parse_rel(self):
-        return self._binop_level(self.parse_shift, ("<", ">", "<=", ">="))
+        return self._binop_level(self.parse_shift, ("&",))
 
     def parse_shift(self):
         return self._binop_level(self.parse_add, ("<<", ">>"))

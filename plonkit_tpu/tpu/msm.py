@@ -433,20 +433,20 @@ def _combine_body(wx, wy, wz, W: int, c: int):
     return jax.lax.fori_loop(0, W - 1, body, (wx[W - 1], wy[W - 1], wz[W - 1]))
 
 
-def _msm_from_packed(tbl, packed, *, n, lanes, c, W, uni, mid, top,
-                     use_pallas=False):
-    """Full MSM from a [W, n] packed digit matrix: one batched
-    single-operand sort, all windows, device combine.  Returns (result,
-    overflow, bad) — overflow means a lane run exceeded r_max (retry with
-    a roomier config); bad means a degenerate unchecked add fired (host
-    fallback).
+def _windows_from_packed(tbl, packed, *, n, lanes, c, W, uni, mid, top,
+                         use_pallas=False):
+    """All Pippenger window totals from a [W, n] packed digit matrix: one
+    batched single-operand sort, then every window's buckets + weighted
+    reduction.  Returns (wx, wy, wz [W, 16, 1] Jacobian stacks, overflow,
+    bad).  The sharded multi-chip MSM runs this per device shard and
+    combines across the mesh; the single-chip MSM follows it with the
+    on-device window combine (_msm_from_packed).
 
     lax.map (sequential scan, body compiled once) rather than vmap over the
     uniform windows: each window already saturates the VPU, the batched
     lowering of the padded gather miscompiles on TPU (observed: identical
     batch rows producing different results), and the scanned form keeps
     only one window's gathered data live in HBM."""
-    from . import msm_pallas
     srt = jax.lax.sort(packed, dimension=1)              # [W, n]
 
     uni_fn = partial(_window_buckets, n=n, lanes=lanes, r_max=uni["r_max"],
@@ -460,7 +460,7 @@ def _msm_from_packed(tbl, packed, *, n, lanes, c, W, uni, mid, top,
     # uniform windows 0..W-3: per-window bucket tables (lax.map), then ONE
     # batched weighted reduction over all windows side by side; windows
     # W-2 (mass-skewed) and W-1 (top, replicated) run with their own
-    # configs (see _Chunk)
+    # configs (see window_configs)
     bxs, bys, bzs, bads, ovfs = jax.lax.map(
         lambda s: uni_fn(tbl, s), srt[:W - 2])
     cat = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(NLIMBS, (W - 2) * lanes)
@@ -477,13 +477,26 @@ def _msm_from_packed(tbl, packed, *, n, lanes, c, W, uni, mid, top,
     wx = jnp.concatenate([tx, mx[None], hx[None]], axis=0)
     wy = jnp.concatenate([ty, my[None], hy[None]], axis=0)
     wz = jnp.concatenate([tz, mz[None], hz[None]], axis=0)
-    ovf = jnp.any(ovf) | movf
-    bad = bad | mbad
+    ovf = jnp.any(ovf) | movf | hovf
+    bad = jnp.any(bad) | mbad | hbad
+    return wx, wy, wz, ovf, bad
+
+
+def _msm_from_packed(tbl, packed, *, n, lanes, c, W, uni, mid, top,
+                     use_pallas=False):
+    """Full MSM from a [W, n] packed digit matrix: windows + on-device
+    combine.  Returns (result, overflow, bad) — overflow means a lane run
+    exceeded r_max (retry with a roomier config); bad means a degenerate
+    unchecked add fired (host fallback)."""
+    from . import msm_pallas
+    wx, wy, wz, ovf, bad = _windows_from_packed(
+        tbl, packed, n=n, lanes=lanes, c=c, W=W, uni=uni, mid=mid, top=top,
+        use_pallas=use_pallas)
     if use_pallas:
         res = msm_pallas.combine(wx, wy, wz, W, c)
     else:
         res = _combine_body(wx, wy, wz, W, c)
-    return res, jnp.any(ovf) | hovf, jnp.any(bad) | hbad
+    return res, ovf, bad
 
 
 @lru_cache(maxsize=None)
@@ -518,6 +531,62 @@ def _msm_vec_jit(n, n_in, lanes, c, W, uni_key, mid_key, top_key,
     return jax.jit(run)
 
 
+def window_configs(n8: int, c: int, lanes: int) -> dict:
+    """Mass-derived lane configs for the three window classes of an
+    n8-point shard (tight + safe r_max tiers).  Shared by the single-chip
+    _Chunk and the per-device shard of the distributed MSM — the shard MUST
+    size its windows from its LOCAL point count with the same mid/top mass
+    skews, or large shards overflow the mid window almost surely."""
+
+    def rmax_tight(mean):
+        # P[Binomial(n, 1/buckets) > mean + 5 sqrt(mean)] ~ 3e-7 per
+        # lane: a 2^20 MSM (90K lane-windows) retries ~3% of the time
+        mean = max(1, mean)
+        return _round_up(mean + 5 * math.isqrt(mean) + 8, 8)
+
+    def rmax_safe(mean):
+        # < 2^-40 per lane — overflow here means adversarial structure
+        mean = max(1, mean)
+        return _round_up(mean + 8 * math.isqrt(mean) + 64, 8)
+
+    half = 1 << c
+    num_windows = -(-254 // c)
+    out = {}
+    # uniform windows (0..W-3): each key's probability mass for a
+    # uniform scalar < FR_MODULUS is within 1e-4 of 1/2^c, so one
+    # bucket per lane with a mean-sized run
+    mean_uni = -(-n8 // (half - 1))
+    out["uni"] = dict(repl=1, r_max=rmax_tight(mean_uni))
+    out["uni_safe"] = dict(out["uni"], r_max=rmax_safe(mean_uni))
+    # top window (W-1): the digit is bounded by the modulus' top bits —
+    # for c=12 only keys 0..3 occur (digits are unsigned: no carry
+    # slack) and each has mass <= 2^((W-1)c)/r (~0.33), concentrating
+    # n/3 points per bucket.  Replication spreads each hot bucket over
+    # `repl` sub-lanes; r_max is sized from the worst KEY MASS, not
+    # from n/num_keys (key masses here are far from uniform).
+    shift_top = (num_windows - 1) * c
+    max_key = min(half - 1, FR_MODULUS >> shift_top)
+    repl = 1
+    while 2 * repl * (max_key + 1) <= lanes:
+        repl *= 2
+    mean_top = -(-n8 * (1 << shift_top) // (FR_MODULUS * repl))
+    out["top"] = dict(repl=repl, r_max=rmax_tight(mean_top))
+    out["top_safe"] = dict(out["top"], r_max=rmax_safe(mean_top))
+    # window W-2 rides below the truncated top window, so its key
+    # masses are skewed by (T+1)/T where T = floor(r / 2^((W-1)c)) —
+    # for c=12, T=3: keys below r's bits (W-2)c..(W-1)c carry 4/3 of
+    # the uniform mass (the 4th period of the digit pattern is cut off
+    # by r).  The window spans the full key range, so sub-lane
+    # replication cannot fit in `lanes`; it simply gets a mass-sized
+    # (larger) r_max of its own.
+    shift_mid = (num_windows - 2) * c
+    mass_num = (FR_MODULUS >> shift_top) + 1    # (T+1) periods
+    mean_mid = -(-n8 * mass_num * (1 << shift_mid) // FR_MODULUS)
+    out["mid"] = dict(repl=1, r_max=rmax_tight(mean_mid))
+    out["mid_safe"] = dict(out["mid"], r_max=rmax_safe(mean_mid))
+    return out
+
+
 class _Chunk:
     """Device-prepared bases + window configs for one <=2^20-point chunk."""
 
@@ -532,51 +601,10 @@ class _Chunk:
         # are excluded by the sort order); lane 2^c-1 (key 2^c) stays empty
         self.lanes = lanes
         assert self.lanes >= half and self.lanes % 1024 == 0, self.lanes
-
-        def rmax_tight(mean):
-            # P[Binomial(n, 1/buckets) > mean + 5 sqrt(mean)] ~ 3e-7 per
-            # lane: a 2^20 MSM (90K lane-windows) retries ~3% of the time
-            mean = max(1, mean)
-            return _round_up(mean + 5 * math.isqrt(mean) + 8, 8)
-
-        def rmax_safe(mean):
-            # < 2^-40 per lane — overflow here means adversarial structure
-            mean = max(1, mean)
-            return _round_up(mean + 8 * math.isqrt(mean) + 64, 8)
-
-        num_windows = -(-254 // c)
-        # uniform windows (0..W-3): each key's probability mass for a
-        # uniform scalar < FR_MODULUS is within 1e-4 of 1/2^c, so one
-        # bucket per lane with a mean-sized run
-        mean_uni = -(-self.n8 // (half - 1))
-        self.uni = dict(repl=1, r_max=rmax_tight(mean_uni))
-        self.uni_safe = dict(self.uni, r_max=rmax_safe(mean_uni))
-        # top window (W-1): the digit is bounded by the modulus' top bits —
-        # for c=12 only keys 0..3 occur (digits are unsigned: no carry
-        # slack) and each has mass <= 2^((W-1)c)/r (~0.33), concentrating
-        # n/3 points per bucket.  Replication spreads each hot bucket over
-        # `repl` sub-lanes; r_max is sized from the worst KEY MASS, not
-        # from n/num_keys (key masses here are far from uniform).
-        shift_top = (num_windows - 1) * c
-        max_key = min(half - 1, FR_MODULUS >> shift_top)
-        repl = 1
-        while 2 * repl * (max_key + 1) <= lanes:
-            repl *= 2
-        mean_top = -(-self.n8 * (1 << shift_top) // (FR_MODULUS * repl))
-        self.top = dict(repl=repl, r_max=rmax_tight(mean_top))
-        self.top_safe = dict(self.top, r_max=rmax_safe(mean_top))
-        # window W-2 rides below the truncated top window, so its key
-        # masses are skewed by (T+1)/T where T = floor(r / 2^((W-1)c)) —
-        # for c=12, T=3: keys below r's bits (W-2)c..(W-1)c carry 4/3 of
-        # the uniform mass (the 4th period of the digit pattern is cut off
-        # by r).  The window spans the full key range, so sub-lane
-        # replication cannot fit in `lanes`; it simply gets a mass-sized
-        # (larger) r_max of its own.
-        shift_mid = (num_windows - 2) * c
-        mass_num = (FR_MODULUS >> shift_top) + 1    # (T+1) periods
-        mean_mid = -(-self.n8 * mass_num * (1 << shift_mid) // FR_MODULUS)
-        self.mid = dict(repl=1, r_max=rmax_tight(mean_mid))
-        self.mid_safe = dict(self.mid, r_max=rmax_safe(mean_mid))
+        cfg = window_configs(self.n8, c, lanes)
+        self.uni, self.uni_safe = cfg["uni"], cfg["uni_safe"]
+        self.mid, self.mid_safe = cfg["mid"], cfg["mid_safe"]
+        self.top, self.top_safe = cfg["top"], cfg["top_safe"]
         # hashable configs for the lru_cached jit factories
         self.uni_key = tuple(sorted(self.uni.items()))
         self.mid_key = tuple(sorted(self.mid.items()))

@@ -14,12 +14,16 @@ Usage: python scripts/bench_prove.py [log2_domain] [--poseidon]
                                      [--backend host|jax]
 """
 
+import logging
 import os
 import random
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(levelname)s %(message)s")
 
 from plonkit_tpu.fields import FR_MODULUS as R
 from plonkit_tpu.frontend.circuit import CircomCircuit
@@ -79,6 +83,13 @@ def main():
     k = int(args[0]) if args else 14
 
     import jax
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:  # persist XLA compiles (minutes through the remote-compile tunnel)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     t0 = time.time()

@@ -35,10 +35,25 @@ def test_foreign_srs_roundtrip_and_prove(tmp_path):
 
     handle = CrsHandle(path)
     assert handle.num_g1 == n
-    # streaming limb load matches the eager reader
+    # streaming limb load matches the eager reader over the full prefix:
+    # convert the raw limb arrays back to affine ints and compare all 256
+    # points (an unused g1_limbs() result would let a limb-packing
+    # regression through)
     x_raw, y_raw, inf = handle.g1_limbs(256)
     eager = Crs.load(path)
-    assert eager.g1_bases[:3] == g1[:3]
+    assert eager.g1_bases[:256] == g1[:256]
+
+    def limbs_to_int(col):
+        return sum(int(col[i]) << (16 * i) for i in range(col.shape[0]))
+
+    import numpy as np
+    x_np, y_np, inf_np = (np.asarray(a) for a in (x_raw, y_raw, inf))
+    for i in range(256):
+        if inf_np[i]:
+            assert eager.g1_bases[i] is None
+        else:
+            assert eager.g1_bases[i] == (limbs_to_int(x_np[:, i]),
+                                         limbs_to_int(y_np[:, i])), i
 
     # prove the flagship Poseidon circuit against the foreign key
     from plonkit_tpu.frontend.poseidon import poseidon_circuit

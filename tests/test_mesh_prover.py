@@ -29,6 +29,26 @@ def test_mesh_prove_simple_golden_bytes(mesh_backend, simple_dir, srs):
     assert verify(setup.make_verification_key(), proof)
 
 
+@pytest.mark.slow  # XLA-CPU compile of the sharded EC window graphs
+def test_mesh_prove_with_sharded_msm_golden_bytes(monkeypatch, simple_dir,
+                                                  srs):
+    """The REAL prover with the SHARDED MSM inside it: every commitment in
+    prove() runs through DistributedMSMContext (the packed single-chip
+    engine sharded over the 8-device mesh) and the proof must still be
+    byte-identical to the golden artifact."""
+    monkeypatch.setenv("PLONKIT_TPU_MESH_MSM", "force")
+    monkeypatch.setenv("PLONKIT_TPU_DIST_MSM_C", "8")
+    backend = MeshBackend(n_devices=8)
+    circ = CircomCircuit(r1cs=load_r1cs(simple_dir + "/circuit.r1cs.json"),
+                         witness=load_witness(simple_dir + "/witness.json"))
+    setup = SetupForProver(circ, srs, backend=backend)
+    proof = setup.prove(circ)
+    with open(simple_dir + "/proof.bin", "rb") as f:
+        assert proof.to_bytes() == f.read()
+    with open(simple_dir + "/vk.bin", "rb") as f:
+        assert setup.make_verification_key().to_bytes() == f.read()
+
+
 def test_mesh_backend_ops_match_host():
     """Sharded elementwise/scan/NTT ops vs the host oracle on a domain
     where the 4-step distributed NTT engages (n1, n2 both divisible by 8)."""

@@ -8,6 +8,8 @@ generation code is caught; see franklin.py's docstring for the procedure
 and its validation status (no upstream rescue artifact exists in this
 image to diff against)."""
 
+import pytest
+
 from plonkit_tpu.fields import FR_MODULUS as R
 from plonkit_tpu.recursive import franklin as F
 
@@ -61,6 +63,61 @@ def test_chacha_rand04_semantics():
     lo = rng2.next_u32()
     rng3 = F.ChaChaRng([0] * 8)
     assert rng3.next_u64() == (hi << 32) | lo
+
+
+def test_chacha_published_zero_key_vector():
+    """EXTERNAL vector: the ChaCha20 keystream block for the all-zero key,
+    zero nonce, zero counter, as published with the original ChaCha spec
+    and pinned verbatim in rand 0.4's own `test_rng_true_values`
+    (src/prng/chacha.rs).  These 16 words were NOT produced by this repo —
+    they validate the constants, double-round, word order and counter
+    placement of the recovered ChaChaRng."""
+    published = [0xADE0B876, 0x903DF1A0, 0xE56A5D40, 0x28BD8653,
+                 0xB819D2BD, 0x1AED8DA0, 0xCCEF36A8, 0xC70D778B,
+                 0x7C5941DA, 0x8D485751, 0x3FE02477, 0x374AD8B8,
+                 0xF4B8436A, 0x1CA11815, 0x69B687C3, 0x8665EEB2]
+    rng = F.ChaChaRng([0] * 8)
+    assert [rng.next_u32() for _ in range(16)] == published
+
+
+def test_chacha_matches_openssl_oracle():
+    """EXTERNAL oracle: OpenSSL's ChaCha20 (via the `cryptography`
+    package) against the recovered rand-0.4 ChaChaRng — including the
+    ACTUAL ResM0003 seed that generates the production MDS matrix.
+
+    Mapping: rand 0.4 seeds state words 4..11 from the key words; the
+    OpenSSL key is those words serialized little-endian; a 16-zero-byte
+    nonce equals rand 0.4's zeroed 128-bit block counter (words 12..15).
+    Three full blocks also exercise the counter increment."""
+    pytest.importorskip("cryptography")
+    from hashlib import blake2s
+
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms
+
+    h = blake2s(digest_size=32, person=b"ResM0003")
+    h.update(F.GH_FIRST_BLOCK)
+    mds_seed = [int.from_bytes(h.digest()[4 * i:4 * i + 4], "big")
+                for i in range(8)]
+    for seed in ([0] * 8, mds_seed):
+        key = b"".join(w.to_bytes(4, "little") for w in seed)
+        enc = Cipher(algorithms.ChaCha20(key, b"\x00" * 16),
+                     mode=None).encryptor()
+        ks = enc.update(b"\x00" * 192)
+        want = [int.from_bytes(ks[4 * i:4 * i + 4], "little")
+                for i in range(48)]
+        rng = F.ChaChaRng(seed)
+        assert [rng.next_u32() for _ in range(48)] == want
+
+
+def test_blake2s_rfc7693_vector():
+    """EXTERNAL vector: RFC 7693's unkeyed Blake2s-256("abc") digest pins
+    hashlib's Blake2s core (the constant-generation hash).  The remaining
+    externally-unvalidated joints are the personalization field mapping
+    (hashlib implements the RFC person= parameter directly) and the
+    Fr::rand Montgomery-repr interpretation (see franklin.py)."""
+    from hashlib import blake2s
+    assert blake2s(b"abc").hexdigest() == (
+        "508c5e8c327c14e2e1a72ba34eeb452f37458b209ed63a294d999b4c86675982")
 
 
 def test_fr_rand_montgomery_interpretation():
