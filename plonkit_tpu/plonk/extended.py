@@ -193,8 +193,10 @@ def make_verification_key2(setup: SetupPolynomials2, crs: Crs, backend=None) -> 
     assert num_g1 >= size, "SRS too small for circuit"
     msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
 
+    from ..backend import from_ints_dedup
+
     def commit(values):
-        coeffs = backend.intt(backend.from_ints(values))
+        coeffs = backend.intt(from_ints_dedup(backend, values))
         return backend.commit(msm_ctx, coeffs)
 
     sel = [commit(setup.selectors[i]) for i in range(6)]
@@ -253,6 +255,7 @@ def validate_witness2_fast(setup: SetupPolynomials2, wire_columns: List[List[int
     if backend is None:
         from ..backend import default_backend
         backend = default_backend()
+    from ..backend import from_ints_dedup
     b = backend
     size = setup.domain_size
     w = [b.from_ints(col, pad_to=size) for col in wire_columns]
@@ -260,20 +263,27 @@ def validate_witness2_fast(setup: SetupPolynomials2, wire_columns: List[List[int
     pi = [0] * size
     for i, x in enumerate(public_inputs):
         pi[i] = x
-    q = [b.from_ints(s) for s in setup.selectors]
+    q = [from_ints_dedup(b, s) for s in setup.selectors]
     acc = b.from_ints(pi)
     for j in range(STATE_WIDTH):
         acc = b.add(acc, b.mul(q[j], w[j]))
     acc = b.add(acc, b.mul(q[4], b.mul(w[0], w[1])))
     acc = b.add(acc, q[5])
     acc = b.add(acc, b.mul(q[6], d_next))
-    if any(b.to_ints(acc)):
+
+    def nonzero(v):
+        # single-scalar device pull when the backend supports it (the
+        # full to_ints pull is ~64 MB per check at 2^20)
+        f = getattr(b, "any_nonzero", None)
+        return f(v) if f is not None else any(b.to_ints(v))
+
+    if nonzero(acc):
         raise ProverError("main gate not satisfied")
     for e in (b.sub(w[2], b.scale(w[3], 4)), b.sub(w[1], b.scale(w[2], 4)),
               b.sub(w[0], b.scale(w[1], 4)), b.sub(d_next, b.scale(w[0], 4))):
         t1 = b.sub(b.mul(e, e), b.scale(e, 3))
         ck = b.mul(b.mul(t1, b.add_scalar(t1, 2)), q[Q_RANGE])
-        if any(b.to_ints(ck)):
+        if nonzero(ck):
             raise ProverError("range gate not satisfied")
 
 
@@ -294,8 +304,10 @@ class ProverContext2:
         num_g1 = getattr(crs, "num_g1", None) or len(crs.g1_bases)
         assert num_g1 >= size, "SRS too small for circuit"
         self.msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
+        from ..backend import from_ints_dedup
         b = backend
-        self.sel_m = [b.offload(b.intt(b.from_ints(s))) for s in setup.selectors]
+        self.sel_m = [b.offload(b.intt(from_ints_dedup(b, s)))
+                      for s in setup.selectors]
         self.sigma_m = [b.offload(b.intt(b.from_ints(s))) for s in setup.permutations]
         self.sigma_v = [b.offload(b.from_ints(s)) for s in setup.permutations]
         self.omega = get_domain_omega(size)
@@ -316,16 +328,20 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     omega = ctx.omega
 
     if not skip_validation:
-        validate_witness2(setup, wire_columns, public_inputs)
+        # vectorized check: the python row loop costs minutes at the
+        # aggregation circuit's 2^21+ rows
+        validate_witness2_fast(setup, wire_columns, public_inputs, backend=b)
 
     transcript = make_transcript(transcript)
     for x in public_inputs:
         transcript.update_u256(x)
 
+    from .prover import _commit_many, _eval_many
+
     # ---- round 1: wire polynomials -------------------------------------
     wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
     wires_m = [b.intt(v) for v in wires_v]
-    wire_comms = [b.commit(ctx.msm_ctx, m) for m in wires_m]
+    wire_comms = _commit_many(b, ctx.msm_ctx, wires_m)
     for p in wire_comms:
         transcript.update_g1(p)
     beta = transcript.get_challenge()
@@ -449,25 +465,31 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
         raise ProverError("quotient degree check failed (unsatisfied witness?)")
 
     t_chunks = [b.slice(t_m, i * size, (i + 1) * size) for i in range(LDE_FACTOR)]
-    t_comms = [b.commit(ctx.msm_ctx, ch) for ch in t_chunks]
+    t_comms = _commit_many(b, ctx.msm_ctx, t_chunks)
     for p in t_comms:
         transcript.update_g1(p)
     zeta = transcript.get_challenge()
 
     # ---- round 4: evaluations + linearization --------------------------
     zeta_omega = zeta * omega % R
-    wire_evals = [b.poly_eval(b.onload(m), zeta) for m in wires_m_host]
+    # all 11 zeta evaluations in one fused program, both zeta*omega in a
+    # second (see plonk.prover round 4)
+    evals_z = _eval_many(
+        b, [b.onload(m) for m in wires_m_host]
+        + [b.onload(ctx.sigma_m[j]) for j in range(STATE_WIDTH - 1)]
+        + t_chunks, zeta)
+    wire_evals = evals_z[:STATE_WIDTH]
     a_z, b_z, c_z, d_z = wire_evals
-    d_zw = b.poly_eval(b.onload(wires_m_host[3]), zeta_omega)
-    z_zw = b.poly_eval(b.onload(z_m_host), zeta_omega)
-    sigma_z = [b.poly_eval(b.onload(ctx.sigma_m[j]), zeta)
-               for j in range(STATE_WIDTH - 1)]
+    sigma_z = evals_z[STATE_WIDTH:2 * STATE_WIDTH - 1]
+    t_chunk_z = evals_z[2 * STATE_WIDTH - 1:]
+    d_zw, z_zw = _eval_many(
+        b, [b.onload(wires_m_host[3]), b.onload(z_m_host)], zeta_omega)
 
     zeta_n = pow(zeta, size, R)
     t_z = 0
     power = 1
-    for ch in t_chunks:
-        t_z = (t_z + power * b.poly_eval(ch, zeta)) % R
+    for ez in t_chunk_z:
+        t_z = (t_z + power * ez) % R
         power = power * zeta_n % R
 
     vanishing_z = (pow(zeta, size, R) - 1) % R
@@ -523,14 +545,13 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
         agg = b.scale_add(b.onload(ctx.sigma_m[j]), vpow, agg)
     w_z = b.divide_by_linear(agg, zeta)
     del agg
-    opening_z = b.commit(ctx.msm_ctx, w_z)
-    del w_z
 
     v9 = pow(v, 9, R)
     agg_w = b.scale_add(b.onload(wires_m_host[3]), v9 * v % R,
                         b.scale(b.onload(z_m_host), v9))
     w_zw = b.divide_by_linear(agg_w, zeta_omega)
-    opening_zw = b.commit(ctx.msm_ctx, w_zw)
+    opening_z, opening_zw = _commit_many(b, ctx.msm_ctx, [w_z, w_zw])
+    del w_z
 
     return Proof(
         n=n,

@@ -190,6 +190,14 @@ def _lane_layout(keys_sorted, *, n, lanes, repl):
     return starts, ends - starts
 
 
+PA_CHUNK = 1 << 17   # phase-a gather chunk (rows): row-gathers are
+#                      issue-bound ~6.6 ns/row when emitted as ONE 2^20-row
+#                      take + transpose, but ~4.2 ns/row when split into
+#                      2^17-row take+transpose chunks (measured on v5e,
+#                      scratch/ubench_r5_gather2.py) — XLA picks a
+#                      faster emitter for sub-2^18-row gathers
+
+
 def _phase_a(tbl, srt, idx_bits=IDX_BITS):
     """Fused sorted-order row gather + 8-point block transpose.
 
@@ -197,12 +205,21 @@ def _phase_a(tbl, srt, idx_bits=IDX_BITS):
     elements.  Returns [nb, 128] u32 — row b holds the b-th 8-point block
     of the sorted sequence, block-transposed so element c*8 + j is packed
     word c of sorted point 8b + j (one row = one 128-lane tile, the
-    layout sweep_flat consumes)."""
+    layout sweep_flat consumes).  Gathers + transposes run per PA_CHUNK
+    rows (see above)."""
     n8 = tbl.shape[0]
     idx = (srt & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-    g = jnp.take(tbl, idx, axis=0)                       # [n8, 16]
-    nb = n8 // 8
-    return g.reshape(nb, 8, PACK_W).transpose(0, 2, 1).reshape(nb, PACK_W * 8)
+
+    def block_t(g):
+        nb = g.shape[0] // 8
+        return g.reshape(nb, 8, PACK_W).transpose(0, 2, 1).reshape(
+            nb, PACK_W * 8)
+
+    if n8 <= PA_CHUNK or n8 % PA_CHUNK:
+        return block_t(jnp.take(tbl, idx, axis=0))
+    return jnp.concatenate(
+        [block_t(jnp.take(tbl, idx[s:s + PA_CHUNK], axis=0))
+         for s in range(0, n8, PA_CHUNK)], axis=0)
 
 
 def _phase_b_flat(sr2, bstart, r_max_eff, lanes, lb):
