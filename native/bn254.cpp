@@ -877,6 +877,67 @@ extern "C" int bn254_keccak256(const uint8_t* data, long len, uint8_t* out32) {
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Witness-plan evaluation (frontend/transpiler.WitnessPlan native path)
+//
+// Replays the transpiler's witness extension and gathers the four wire
+// columns in one call: the python plan evaluation is ~2 s of bigint work
+// per 2^20 prove; this is the same computation at Fr-CIOS speed.  All
+// values canonical little-endian 32-byte; indices are flat positions in
+// [witness | extras | dummy-zero], matching WitnessPlan's layout.
+// ---------------------------------------------------------------------------
+
+extern "C" int bn254_witness_eval(
+    const uint8_t* witness,      // [n_wit * 32] canonical LE, values < r
+    long long n_wit,
+    const long long* term_src,   // [n_terms] flat source indices
+    const uint8_t* term_coeff,   // [n_terms * 32] canonical LE
+    const long long* prog_off,   // [n_extras + 1] term ranges per extra
+    const uint8_t* prog_const,   // [n_extras * 32] canonical LE
+    long long n_extras,
+    const long long* wire_idx,   // [n_cols * n_rows] flat value indices
+    long long n_cols,
+    long long n_rows,
+    uint8_t* out_cols)           // [n_cols][16][n_rows] u16 LE limbs
+{
+    const long long n_vals = n_wit + n_extras + 1;  // + dummy zero slot
+    fe* vals = new fe[n_vals];
+    for (long long i = 0; i < n_wit; i++)
+        fe_from_bytes(FR, vals[i], witness + 32 * i);
+    for (long long e = 0; e < n_extras; e++) {
+        fe acc;
+        fe_from_bytes(FR, acc, prog_const + 32 * e);
+        for (long long t = prog_off[e]; t < prog_off[e + 1]; t++) {
+            fe c, prod;
+            fe_from_bytes(FR, c, term_coeff + 32 * t);
+            fe_mul(FR, prod, c, vals[term_src[t]]);
+            fe_add(FR, acc, acc, prod);
+        }
+        fe_copy(vals[n_wit + e], acc);
+    }
+    fe_zero(vals[n_vals - 1]);
+    // one from-Montgomery per DISTINCT value...
+    uint16_t* canon = new uint16_t[(size_t)n_vals * 16];
+    for (long long i = 0; i < n_vals; i++)
+        fe_to_bytes(FR, (uint8_t*)(canon + 16 * i), vals[i]);
+    // ...then gather into limb-planar [16, n_rows] layout per column (the
+    // device wire format) so python needs no strided transpose
+    uint16_t* out = (uint16_t*)out_cols;
+    for (long long j = 0; j < n_cols; j++) {
+        uint16_t* colbase = out + (size_t)j * 16 * n_rows;
+        for (long long r = 0; r < n_rows; r++) {
+            long long src = wire_idx[j * n_rows + r];
+            if (src < 0 || src >= n_vals) { delete[] vals; delete[] canon; return 2; }
+            const uint16_t* v = canon + 16 * src;
+            for (int l = 0; l < 16; l++)
+                colbase[(size_t)l * n_rows + r] = v[l];
+        }
+    }
+    delete[] vals;
+    delete[] canon;
+    return 0;
+}
+
 // version probe for the ctypes loader
 extern "C" int bn254_abi_version() { return 1; }
 

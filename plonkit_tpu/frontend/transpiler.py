@@ -306,7 +306,7 @@ class WitnessPlan:
     cost instead of transpile cost."""
 
     __slots__ = ("tc", "witness_len", "prog", "wire_idx", "pub_idx",
-                 "dummy_idx", "_wire_idx_np")
+                 "dummy_idx", "_wire_idx_np", "_native_prog")
 
     def __init__(self, tc: TranspiledCircuit, witness_len: int, prog,
                  wire_idx, pub_idx, dummy_idx):
@@ -317,6 +317,7 @@ class WitnessPlan:
         self.pub_idx = pub_idx
         self.dummy_idx = dummy_idx
         self._wire_idx_np = None
+        self._native_prog = None
 
     def _values(self, witness: List[int]) -> List[int]:
         assert len(witness) == self.witness_len, \
@@ -338,27 +339,69 @@ class WitnessPlan:
         public_inputs = [vals[i] for i in self.pub_idx]
         return columns, public_inputs
 
-    def evaluate_limbs(self, witness: List[int], pad_to: int):
-        """(wire columns as [16, pad_to] uint32 raw limb arrays, public
-        inputs as ints).  Converts each DISTINCT value to limbs once and
-        numpy-gathers the columns — the wire columns repeat variables
-        heavily, so this does ~5x less python-int -> bytes work than
-        converting the four expanded columns (the dominant host cost of
-        the witness-transfer prove stage at 2^20)."""
+    def _padded_idx(self, pad_to: int):
         import numpy as np
-        from ..tpu.mont import FR
-        vals = self._values(witness)
-        limbs = FR.to_limbs_np(vals)                     # [16, n_vals]
         if self._wire_idx_np is None:
             self._wire_idx_np = [np.asarray(idx, dtype=np.int64)
                                  for idx in self.wire_idx]
-        cols = []
+        out = []
         for idx in self._wire_idx_np:
             if pad_to > idx.shape[0]:
                 idx = np.concatenate(
                     [idx, np.full(pad_to - idx.shape[0], self.dummy_idx,
                                   dtype=np.int64)])
-            cols.append(np.ascontiguousarray(limbs[:, idx[:pad_to]]))
+            out.append(idx[:pad_to])
+        return out
+
+    def _encode_native(self):
+        """Flat-encode the extras program for bn254_witness_eval (once)."""
+        import numpy as np
+        srcs, coeffs, offs, consts = [], [], [0], []
+        for terms, const in self.prog:
+            for s, c in terms:
+                srcs.append(s)
+                coeffs.append((c % R).to_bytes(32, "little"))
+            offs.append(len(srcs))
+            consts.append((const % R).to_bytes(32, "little"))
+        self._native_prog = (
+            np.asarray(srcs, dtype=np.int64), b"".join(coeffs),
+            np.asarray(offs, dtype=np.int64), b"".join(consts))
+
+    def evaluate_limbs(self, witness: List[int], pad_to: int):
+        """(wire columns as [16, pad_to] uint32 raw limb arrays, public
+        inputs as ints).
+
+        Native path: bn254_witness_eval replays the extras program and
+        gathers the columns at Fr-CIOS speed (the python plan evaluation
+        is ~2 s of bigint work per 2^20 prove).  Python fallback converts
+        each DISTINCT value to limbs once and numpy-gathers the columns —
+        the wire columns repeat variables heavily, so that is still ~5x
+        less python-int -> bytes work than converting the four expanded
+        columns."""
+        import numpy as np
+
+        from ..native import witness_eval_native
+        idx_cols = self._padded_idx(pad_to)
+        if all(i < self.witness_len for i in self.pub_idx):
+            if self._native_prog is None:
+                self._encode_native()
+            srcs, coeffs, offs, consts = self._native_prog
+            wb = b"".join((v % R).to_bytes(32, "little") for v in witness)
+            blob = witness_eval_native(
+                wb, self.witness_len, srcs, coeffs, offs, consts,
+                len(self.prog), np.concatenate(idx_cols), len(idx_cols),
+                pad_to)
+            if blob is not None:
+                arr = np.frombuffer(blob, dtype="<u2").reshape(
+                    len(idx_cols), 16, pad_to)
+                cols = [a.astype(np.uint32) for a in arr]
+                public_inputs = [witness[i] % R for i in self.pub_idx]
+                return cols, public_inputs
+
+        from ..tpu.mont import FR
+        vals = self._values(witness)
+        limbs = FR.to_limbs_np(vals)                     # [16, n_vals]
+        cols = [np.ascontiguousarray(limbs[:, idx]) for idx in idx_cols]
         public_inputs = [vals[i] for i in self.pub_idx]
         return cols, public_inputs
 

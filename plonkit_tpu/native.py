@@ -106,6 +106,35 @@ def msm_native(points, scalars):
     return (x, y)
 
 
+def witness_eval_native(witness_bytes: bytes, n_wit: int, term_src,
+                        term_coeff: bytes, prog_off, prog_const: bytes,
+                        n_extras: int, wire_idx, n_cols: int, n_rows: int):
+    """Native witness-plan evaluation + column gather
+    (frontend/transpiler.WitnessPlan).  term_src/prog_off/wire_idx are
+    int64 numpy arrays; returns the [n_cols * n_rows * 32] canonical LE
+    column blob, or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bn254_witness_eval"):
+        return None
+    import numpy as np
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    out = ctypes.create_string_buffer(n_cols * n_rows * 32)
+    rc = lib.bn254_witness_eval(
+        witness_bytes, ctypes.c_longlong(n_wit),
+        np.ascontiguousarray(term_src, dtype=np.int64)
+          .ctypes.data_as(i64p),
+        term_coeff,
+        np.ascontiguousarray(prog_off, dtype=np.int64)
+          .ctypes.data_as(i64p),
+        prog_const, ctypes.c_longlong(n_extras),
+        np.ascontiguousarray(wire_idx, dtype=np.int64)
+          .ctypes.data_as(i64p),
+        ctypes.c_longlong(n_cols), ctypes.c_longlong(n_rows), out)
+    if rc != 0:
+        return None
+    return out.raw
+
+
 def keccak256_native(data: bytes):
     lib = get_lib()
     if lib is None:
