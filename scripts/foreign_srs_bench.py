@@ -54,16 +54,21 @@ def main():
     tau = random.Random(987654321).randrange(2, R)  # NOT the dev tau
     path = os.path.join(repo, "scratch", f"foreign_2pow{k}.key")
 
-    t0 = time.time()
-    g1 = gen_crs_g1_device(k, tau=tau)
-    crs = Crs(g1, [G2_GEN, g2_mul(G2_GEN, tau)])
-    log(f"random-tau 2^{k} SRS generated on device: {time.time()-t0:.1f}s")
+    if os.path.exists(path) and \
+            os.path.getsize(path) == 8 + (1 << k) * 64 + 8 + 2 * 128:
+        log(f"reusing existing foreign key {path}")
+    else:
+        t0 = time.time()
+        g1 = gen_crs_g1_device(k, tau=tau)
+        crs = Crs(g1, [G2_GEN, g2_mul(G2_GEN, tau)])
+        log(f"random-tau 2^{k} SRS generated on device: "
+            f"{time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    crs.save(path)
-    sz = os.path.getsize(path)
-    assert sz == 8 + (1 << k) * 64 + 8 + 2 * 128, sz
-    log(f"saved {sz/2**20:.1f} MiB key: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        crs.save(path)
+        sz = os.path.getsize(path)
+        assert sz == 8 + (1 << k) * 64 + 8 + 2 * 128, sz
+        log(f"saved {sz/2**20:.1f} MiB key: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     handle = CrsHandle(path)
