@@ -462,8 +462,11 @@ class JaxBackend:
             to_mont = jax.jit(lambda r: mont.to_mont(mont.FQ, r))
             x_mont = to_mont(push_dev(x_raw))
             y_mont = to_mont(push_dev(y_raw))
+            # same c=12 layout as the device-affine path: the window
+            # programs are shared (one compiled MSM shape set per size)
+            # and c=12 measured faster than c=13 on the round-5 engine
             ctx = tpu_msm.MSMContext.from_device_affine(
-                x_mont, y_mont, jnp.asarray(inf), c=13,
+                x_mont, y_mont, jnp.asarray(inf),
                 host_points_loader=lambda h=crs: h.g1_bases)
         if key is not None:
             self._msm_cache[key] = ctx

@@ -656,6 +656,11 @@ class MSMContext:
         return ctx
 
     def _init_params(self, x, y, inf, c, lanes):
+        # the fused msm_vec path packs `digit << IDX_BITS | idx` into ONE
+        # u32 (single-operand sort): c + IDX_BITS must fit 32 bits, or
+        # high digits silently wrap onto low bucket keys (c=13 was broken
+        # exactly this way — wrong commitments, pathological lane runs)
+        assert c + IDX_BITS <= 32, (c, IDX_BITS)
         self.c = c
         self.num_windows = -(-254 // c)
         self.lanes = (1 << c) if lanes is None else lanes

@@ -83,8 +83,9 @@ def main():
     circuit = poseidon_chain_circuit(k)
     log(f"poseidon circuit 2^{k}: {time.time()-t0:.1f}s")
 
+    from plonkit_tpu.backend_jax import JaxBackend
     t0 = time.time()
-    setup = SetupForProver(circuit, CrsHandle(path))
+    setup = SetupForProver(circuit, CrsHandle(path), backend=JaxBackend())
     log(f"transpile+setup: {time.time()-t0:.1f}s")
 
     t0 = time.time()
