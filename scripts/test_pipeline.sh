@@ -9,7 +9,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 WORK="${1:-/tmp/plonkit_tpu_pipeline_test}"
 POWER="${2:-10}"
 CLI="python -m plonkit_tpu"
-export PYTHONPATH="$REPO"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 
 mkdir -p "$WORK"
 cd "$WORK"

@@ -17,7 +17,7 @@ WORK="${1:-/tmp/plonkit_tpu_recursive_test}"
 NPROOFS="${2:-1}"
 BIG_POWER="${3:-22}"
 CLI="python -m plonkit_tpu"
-export PYTHONPATH="$REPO"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 
 mkdir -p "$WORK"
 cd "$WORK"
