@@ -372,12 +372,37 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     for i in range(1, 7):
         alpha_pows[i] = alpha_pows[i - 1] * alpha % R
 
-    # ---- round 3: quotient (streamed: one LDE array live at a time) -----
+    # ---- round 3: quotient (streamed: recompute wire LDEs on demand) ----
+    # At 2^22 each LDE array is 1 GiB (2^24 x 16 u32 limbs); holding all
+    # four wire LDEs plus transients through the whole accumulation
+    # exhausts a 16 GiB v5e.  A 2-entry recompute cache bounds the live
+    # wire LDEs at 2: an LDE recompute is one ~2^24 coset NTT (~0.2 s),
+    # far cheaper than the OOM it prevents.
     del wires_v
     wires_m_host = [b.offload(m) for m in wires_m]
     del wires_m
-    wires_l = [ctx.lde(m) for m in wires_m_host]
-    d_next_l = b.rotate(wires_l[3], LDE_FACTOR)
+
+    class _WireLDE:
+        cap = 2
+
+        def __init__(self):
+            self.live = {}
+            self.order = []
+
+        def get(self, i):
+            if i in self.live:
+                return self.live[i]
+            while len(self.order) >= self.cap:
+                del self.live[self.order.pop(0)]
+            v = ctx.lde(wires_m_host[i])
+            self.live[i] = v
+            self.order.append(i)
+            return v
+
+    wl = _WireLDE()
+
+    def d_next():
+        return b.rotate(wl.get(3), LDE_FACTOR)
 
     numerator = None
 
@@ -385,23 +410,24 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
         nonlocal numerator
         numerator = term if numerator is None else b.add(numerator, term)
 
+    acc(b.mul(ctx.lde(ctx.sel_m[4]), b.mul(wl.get(0), wl.get(1))))
     for i in range(STATE_WIDTH):
-        acc(b.mul(ctx.lde(ctx.sel_m[i]), wires_l[i]))
-    acc(b.mul(ctx.lde(ctx.sel_m[4]), b.mul(wires_l[0], wires_l[1])))
+        acc(b.mul(ctx.lde(ctx.sel_m[i]), wl.get(i)))
     acc(ctx.lde(ctx.sel_m[5]))
-    acc(b.mul(ctx.lde(ctx.sel_m[6]), d_next_l))
+    acc(b.mul(ctx.lde(ctx.sel_m[6]), d_next()))
 
     pi_v = [0] * size
     for i, x in enumerate(public_inputs):
         pi_v[i] = x
     acc(b.coset_lde(b.intt(b.from_ints(pi_v)), LDE_FACTOR))
 
-    # range-gate constraints C1..C4 at alpha^1..alpha^4
+    # range-gate constraints C1..C4 at alpha^1..alpha^4 (expression pairs
+    # ordered so consecutive exprs share a cached wire LDE)
     range_exprs = (
-        lambda: b.sub(wires_l[2], b.scale(wires_l[3], 4)),   # c - 4d
-        lambda: b.sub(wires_l[1], b.scale(wires_l[2], 4)),   # b - 4c
-        lambda: b.sub(wires_l[0], b.scale(wires_l[1], 4)),   # a - 4b
-        lambda: b.sub(d_next_l, b.scale(wires_l[0], 4)),     # d' - 4a
+        lambda: b.sub(wl.get(2), b.scale(wl.get(3), 4)),   # c - 4d
+        lambda: b.sub(wl.get(1), b.scale(wl.get(2), 4)),   # b - 4c
+        lambda: b.sub(wl.get(0), b.scale(wl.get(1), 4)),   # a - 4b
+        lambda: b.sub(d_next(), b.scale(wl.get(0), 4)),    # d' - 4a
     )
     range_total = None
     for k, mk in enumerate(range_exprs):
@@ -412,7 +438,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
         ck = b.scale(ck, alpha_pows[k + 1])
         range_total = ck if range_total is None else b.add(range_total, ck)
     acc(b.mul(ctx.lde(ctx.sel_m[Q_RANGE]), range_total))
-    del range_total, d_next_l
+    del range_total
 
     z_m_host = b.offload(z_m)
     del z_m
@@ -426,14 +452,14 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     for j in range(STATE_WIDTH):
         kj_beta = K_COLS[j] * beta % R
         perm_num = b.mul(perm_num, b.add_scalar(
-            b.scale_add(x_coset, kj_beta, wires_l[j]), gamma))
+            b.scale_add(x_coset, kj_beta, wl.get(j)), gamma))
     del x_coset
     acc(b.scale(perm_num, alpha_pows[5]))
     del perm_num
     perm_den = b.rotate(z_l, LDE_FACTOR)
     for j in range(STATE_WIDTH):
         perm_den = b.mul(perm_den, b.add_scalar(
-            b.scale_add(ctx.lde(ctx.sigma_m[j]), beta, wires_l[j]), gamma))
+            b.scale_add(ctx.lde(ctx.sigma_m[j]), beta, wl.get(j)), gamma))
     acc(b.scale(perm_den, (R - alpha_pows[5]) % R))
     del perm_den
 
@@ -444,7 +470,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     del l0_l, z_l
     acc(b.scale(z_minus_1_l0, alpha_pows[6]))
     del z_minus_1_l0
-    del wires_l
+    wl.live.clear()
 
     # Z_H^-1 on the coset (period-LDE_FACTOR values)
     shift_pow = pow(FR_GENERATOR, size, R)
