@@ -313,7 +313,13 @@ class ProverContext2:
         self.omega = get_domain_omega(size)
 
     def lde(self, hosted):
-        return self.backend.coset_lde(self.backend.onload(hosted), LDE_FACTOR)
+        out = self.backend.coset_lde(self.backend.onload(hosted), LDE_FACTOR)
+        # drain the queue: each 2^24 coset NTT holds multi-GiB workspaces,
+        # and async dispatch lets several programs' workspaces co-reside —
+        # at the 2^22 aggregation domain that alone exhausts a 16 GiB v5e
+        from ..profiling import sync_device
+        sync_device()
+        return out
 
 
 def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
@@ -336,18 +342,24 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     for x in public_inputs:
         transcript.update_u256(x)
 
+    from ..profiling import stage
     from .prover import _commit_many, _eval_many
 
     # ---- round 1: wire polynomials -------------------------------------
+    _r1 = stage("x r1 wires: intt + 4 commits")
+    _r1.__enter__()
     wires_v = [b.from_ints(col, pad_to=size) for col in wire_columns]
     wires_m = [b.intt(v) for v in wires_v]
     wire_comms = _commit_many(b, ctx.msm_ctx, wires_m)
+    _r1.__exit__(None, None, None)
     for p in wire_comms:
         transcript.update_g1(p)
     beta = transcript.get_challenge()
     gamma = transcript.get_challenge()
 
     # ---- round 2: grand product ----------------------------------------
+    _r2 = stage("x r2 grand product + commit")
+    _r2.__enter__()
     omega_pows = b.powers(ctx.omega, size)
     num = None
     den = None
@@ -366,6 +378,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     z_m = b.intt(z_v)
     del z_v
     z_comm = b.commit(ctx.msm_ctx, z_m)
+    _r2.__exit__(None, None, None)
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
     alpha_pows = [1] * 7
@@ -378,6 +391,8 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     # exhausts a 16 GiB v5e.  A 2-entry recompute cache bounds the live
     # wire LDEs at 2: an LDE recompute is one ~2^24 coset NTT (~0.2 s),
     # far cheaper than the OOM it prevents.
+    _r3 = stage("x r3 quotient: streamed LDEs + 4 commits")
+    _r3.__enter__()
     del wires_v
     wires_m_host = [b.offload(m) for m in wires_m]
     del wires_m
@@ -492,11 +507,14 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
 
     t_chunks = [b.slice(t_m, i * size, (i + 1) * size) for i in range(LDE_FACTOR)]
     t_comms = _commit_many(b, ctx.msm_ctx, t_chunks)
+    _r3.__exit__(None, None, None)
     for p in t_comms:
         transcript.update_g1(p)
     zeta = transcript.get_challenge()
 
     # ---- round 4: evaluations + linearization --------------------------
+    _r4 = stage("x r4 evaluations + linearization")
+    _r4.__enter__()
     zeta_omega = zeta * omega % R
     # all 11 zeta evaluations in one fused program, both zeta*omega in a
     # second (see plonk.prover round 4)
@@ -541,6 +559,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     r_m = b.scale_add(b.onload(z_m_host), z_coeff, r_m)
     r_m = b.sub(r_m, b.scale(b.onload(ctx.sigma_m[STATE_WIDTH - 1]), sigma_factor))
     r_z = b.poly_eval(r_m, zeta)
+    _r4.__exit__(None, None, None)
 
     for e in wire_evals:
         transcript.update_fr(e)
@@ -553,6 +572,8 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     v = transcript.get_challenge()
 
     # ---- round 5: opening proofs ---------------------------------------
+    _r5 = stage("x r5 openings: 2 divisions + 2 commits")
+    _r5.__enter__()
     t_agg = t_chunks[0]
     power = 1
     for ch in t_chunks[1:]:
@@ -578,6 +599,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     w_zw = b.divide_by_linear(agg_w, zeta_omega)
     opening_z, opening_zw = _commit_many(b, ctx.msm_ctx, [w_z, w_zw])
     del w_z
+    _r5.__exit__(None, None, None)
 
     return Proof(
         n=n,
