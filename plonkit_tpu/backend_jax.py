@@ -103,6 +103,31 @@ def _from_mont_jit():
 
 
 @lru_cache(maxsize=None)
+def _fma_acc_jit(interpret: bool):
+    # acc + x*y with the accumulator buffer DONATED: XLA reuses the
+    # allocation instead of churning GiB-sized buffers (the 2^22 extended
+    # prover's quotient accumulation fragmented HBM to death without it)
+    def f(acc, x, y):
+        return pk.add(FR, acc, pk.mul(FR, x, y, interpret=interpret),
+                      interpret=interpret)
+    return jax.jit(f, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
+def _add_into_jit(interpret: bool):
+    def f(acc, t):
+        return pk.add(FR, acc, t, interpret=interpret)
+    return jax.jit(f, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
+def _mul_into_jit(interpret: bool):
+    def f(acc, t):
+        return pk.mul(FR, acc, t, interpret=interpret)
+    return jax.jit(f, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
 def _scale_add_jit(interpret: bool):
     # (a * k + c) elementwise with broadcast scalar k
     def f(a, k, c):
@@ -501,6 +526,20 @@ class JaxBackend:
     def scale_add(self, a: FrVec, k: int, c: FrVec) -> FrVec:
         """a * k + c in one fused dispatch."""
         return FrVec(_scale_add_jit(self.interpret)(a.data, _const_mont(k % R), c.data))
+
+    # -- donated accumulators (buffer-reusing; the input acc is CONSUMED) --
+
+    def fma_acc(self, acc: FrVec, x: FrVec, y: FrVec) -> FrVec:
+        """acc + x*y, donating acc's buffer.  acc must not be used again."""
+        return FrVec(_fma_acc_jit(self.interpret)(acc.data, x.data, y.data))
+
+    def add_into(self, acc: FrVec, t: FrVec) -> FrVec:
+        """acc + t, donating acc's buffer."""
+        return FrVec(_add_into_jit(self.interpret)(acc.data, t.data))
+
+    def mul_into(self, acc: FrVec, t: FrVec) -> FrVec:
+        """acc * t, donating acc's buffer."""
+        return FrVec(_mul_into_jit(self.interpret)(acc.data, t.data))
 
     # -- scans / reductions ------------------------------------------------
 

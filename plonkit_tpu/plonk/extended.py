@@ -420,16 +420,36 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
         return b.rotate(wl.get(3), LDE_FACTOR)
 
     numerator = None
+    # donated accumulation when the backend supports it: the eager
+    # add/mul churn of GiB-sized buffers fragments HBM at 2^22
+    _fma = getattr(b, "fma_acc", None)
+    _addi = getattr(b, "add_into", None)
+    _muli = getattr(b, "mul_into", None)
 
     def acc(term):
         nonlocal numerator
-        numerator = term if numerator is None else b.add(numerator, term)
+        if numerator is None:
+            numerator = term
+        elif _addi is not None:
+            numerator = _addi(numerator, term)
+        else:
+            numerator = b.add(numerator, term)
 
-    acc(b.mul(ctx.lde(ctx.sel_m[4]), b.mul(wl.get(0), wl.get(1))))
+    def acc_mul(x, y):
+        nonlocal numerator
+        if numerator is not None and _fma is not None:
+            numerator = _fma(numerator, x, y)
+        else:
+            acc(b.mul(x, y))
+
+    def mul_chain(acc_v, t):
+        return _muli(acc_v, t) if _muli is not None else b.mul(acc_v, t)
+
+    acc_mul(ctx.lde(ctx.sel_m[4]), b.mul(wl.get(0), wl.get(1)))
     for i in range(STATE_WIDTH):
-        acc(b.mul(ctx.lde(ctx.sel_m[i]), wl.get(i)))
+        acc_mul(ctx.lde(ctx.sel_m[i]), wl.get(i))
     acc(ctx.lde(ctx.sel_m[5]))
-    acc(b.mul(ctx.lde(ctx.sel_m[6]), d_next()))
+    acc_mul(ctx.lde(ctx.sel_m[6]), d_next())
 
     pi_v = [0] * size
     for i, x in enumerate(public_inputs):
@@ -451,8 +471,13 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
         ck = b.mul(t1, b.add_scalar(t1, 2))                 # * (e^2 - 3e + 2)
         del e, t1
         ck = b.scale(ck, alpha_pows[k + 1])
-        range_total = ck if range_total is None else b.add(range_total, ck)
-    acc(b.mul(ctx.lde(ctx.sel_m[Q_RANGE]), range_total))
+        if range_total is None:
+            range_total = ck
+        elif _addi is not None:
+            range_total = _addi(range_total, ck)
+        else:
+            range_total = b.add(range_total, ck)
+    acc_mul(ctx.lde(ctx.sel_m[Q_RANGE]), range_total)
     del range_total
 
     z_m_host = b.offload(z_m)
@@ -463,17 +488,17 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     ext = LDE_FACTOR * size
     eta = get_domain_omega(ext)
     x_coset = b.scale(b.powers(eta, ext), FR_GENERATOR)
-    perm_num = z_l
+    perm_num = b.scale(z_l, 1)  # private copy: z_l is reused below
     for j in range(STATE_WIDTH):
         kj_beta = K_COLS[j] * beta % R
-        perm_num = b.mul(perm_num, b.add_scalar(
+        perm_num = mul_chain(perm_num, b.add_scalar(
             b.scale_add(x_coset, kj_beta, wl.get(j)), gamma))
     del x_coset
     acc(b.scale(perm_num, alpha_pows[5]))
     del perm_num
     perm_den = b.rotate(z_l, LDE_FACTOR)
     for j in range(STATE_WIDTH):
-        perm_den = b.mul(perm_den, b.add_scalar(
+        perm_den = mul_chain(perm_den, b.add_scalar(
             b.scale_add(ctx.lde(ctx.sigma_m[j]), beta, wl.get(j)), gamma))
     acc(b.scale(perm_den, (R - alpha_pows[5]) % R))
     del perm_den
