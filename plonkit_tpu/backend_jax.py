@@ -594,6 +594,21 @@ class JaxBackend:
     def powers(self, base: int, n: int) -> FrVec:
         return FrVec(_pow_vec(_const_mont(base % R), n, self.interpret))
 
+    def perm_from_labels(self, label_idx) -> List[FrVec]:
+        """Sigma value vectors from the [4, size] label-index array (label
+        c*size + r == K_COLS[c] * omega^r): one device pow-scan, 4 scalar
+        muls and 4 gathers — replaces ~5 s/vector of host bigint limb
+        conversion at 2^20 (plonk.setup.SetupPolynomials docstring)."""
+        from .plonk.setup import K_COLS
+        size = int(label_idx.shape[1])
+        from .fields import get_domain_omega
+        pows = self.powers(get_domain_omega(size), size)
+        table = jnp.concatenate(
+            [self.scale(pows, k).data for k in K_COLS], axis=1)
+        return [FrVec(jnp.take(table, jnp.asarray(idx, dtype=jnp.int32),
+                               axis=1))
+                for idx in label_idx]
+
     def poly_eval(self, coeffs: FrVec, x: int) -> int:
         return self.poly_eval_many([coeffs], x)[0]
 

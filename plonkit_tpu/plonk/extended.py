@@ -48,17 +48,38 @@ LDE_FACTOR = 4
 K_COLS = (1,) + NON_RESIDUES
 
 
-@dataclass
 class SetupPolynomials2:
-    """Value-form setup polynomials for the extended system."""
-    n: int
-    num_inputs: int
-    selectors: List[List[int]]      # 8 vectors
-    permutations: List[List[int]]   # 4 sigma vectors
+    """Value-form setup polynomials for the extended system.  Permutations
+    are stored as label indices (c*size + r -> K_COLS[c]*omega^r) exactly
+    as the base system's SetupPolynomials: device backends build sigma
+    limb vectors straight from the index array, which at the aggregation
+    circuit's 2^22 domain saves ~15 s/vector of host bigint conversion."""
+
+    def __init__(self, n: int, num_inputs: int, selectors: List[List[int]],
+                 perm_label_idx=None, permutations: List[List[int]] = None):
+        self.n = n
+        self.num_inputs = num_inputs
+        self.selectors = selectors
+        self.perm_label_idx = perm_label_idx
+        self._permutations = permutations
+        assert perm_label_idx is not None or permutations is not None
 
     @property
     def domain_size(self) -> int:
         return self.n + 1
+
+    @property
+    def permutations(self) -> List[List[int]]:
+        if self._permutations is None:
+            size = self.domain_size
+            omega = get_domain_omega(size)
+            pows = [1] * size
+            for i in range(1, size):
+                pows[i] = pows[i - 1] * omega % R
+            labels = [k * p % R for k in K_COLS for p in pows]
+            self._permutations = [[labels[j] for j in col]
+                                  for col in self.perm_label_idx]
+        return self._permutations
 
 
 @dataclass
@@ -130,14 +151,14 @@ def make_setup_polynomials2(num_inputs: int, input_vars: List[int],
     generated here and PREPENDED, matching the base system's convention so
     PI(X) = sum_i x_i L_i(X).
 
-    With a backend, the omega-power / coset-label tables are computed on
-    device (the 254-bit python modmuls dominate wall time at the
-    aggregation circuit's 2^21+ rows); the cycle rotation itself is pure
-    index shuffling."""
+    Permutations come out as a label-index array (SetupPolynomials2
+    docstring): no 254-bit python modmuls at all — the cycle rotation is
+    pure index shuffling, and device backends evaluate the labels with one
+    pow-scan.  `backend` is accepted for API compatibility but no longer
+    needed here."""
     total = num_inputs + len(wires)
     size = domain_size_for_gates(total)
     n = size - 1
-    omega = get_domain_omega(size)
 
     selectors = [[0] * size for _ in range(NUM_SELECTORS)]
     for row, v in enumerate(input_vars):
@@ -159,29 +180,20 @@ def make_setup_polynomials2(num_inputs: int, input_vars: List[int],
                 continue
             positions.setdefault(var, []).append((base, col))
 
-    if backend is not None and size >= (1 << 16):
-        pw = backend.powers(omega, size)
-        bases = [backend.to_ints(backend.scale(pw, K_COLS[c]))
-                 for c in range(STATE_WIDTH)]
-        del pw
-    else:
-        omega_pows = [1] * size
-        for i in range(1, size):
-            omega_pows[i] = omega_pows[i - 1] * omega % R
-        bases = [[K_COLS[c] * w % R for w in omega_pows]
-                 for c in range(STATE_WIDTH)]
-
-    sigma = [list(bases[c]) for c in range(STATE_WIDTH)]
+    import numpy as np
+    sigma_idx = np.empty((STATE_WIDTH, size), dtype=np.int64)
+    for c in range(STATE_WIDTH):
+        sigma_idx[c] = np.arange(size, dtype=np.int64) + c * size
     for plist in positions.values():
         if len(plist) < 2:
             continue
-        labels = [bases[c][r] for (r, c) in plist]
+        labels = [c * size + r for (r, c) in plist]
         rotated = labels[1:] + labels[:1]
         for (r, c), lab in zip(plist, rotated):
-            sigma[c][r] = lab
+            sigma_idx[c][r] = lab
 
     return SetupPolynomials2(n=n, num_inputs=num_inputs,
-                             selectors=selectors, permutations=sigma)
+                             selectors=selectors, perm_label_idx=sigma_idx)
 
 
 def make_verification_key2(setup: SetupPolynomials2, crs: Crs, backend=None) -> VerificationKey2:
@@ -194,15 +206,14 @@ def make_verification_key2(setup: SetupPolynomials2, crs: Crs, backend=None) -> 
     msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
 
     from ..backend import from_ints_dedup
+    from .prover import _commit_many, sigma_value_vectors
 
-    def commit(values):
-        coeffs = backend.intt(from_ints_dedup(backend, values))
-        return backend.commit(msm_ctx, coeffs)
-
-    sel = [commit(setup.selectors[i]) for i in range(6)]
-    nxt = [commit(setup.selectors[6])]
-    rng = [commit(setup.selectors[Q_RANGE])]
-    perm = [commit(setup.permutations[i]) for i in range(STATE_WIDTH)]
+    sel_vecs = [backend.intt(from_ints_dedup(backend, setup.selectors[i]))
+                for i in range(NUM_SELECTORS)]
+    perm_vecs = [backend.intt(v) for v in sigma_value_vectors(setup, backend)]
+    comms = _commit_many(backend, msm_ctx, sel_vecs + perm_vecs)
+    sel, nxt, rng = comms[:6], comms[6:7], comms[7:8]
+    perm = comms[8:]
     return VerificationKey2(
         n=setup.n, num_inputs=setup.num_inputs,
         selector_commitments=sel, next_step_selector_commitments=nxt,
@@ -305,11 +316,14 @@ class ProverContext2:
         assert num_g1 >= size, "SRS too small for circuit"
         self.msm_ctx = backend.msm_context_from_crs(crs, size, key=("srs", id(crs), size))
         from ..backend import from_ints_dedup
+        from .prover import sigma_value_vectors
         b = backend
         self.sel_m = [b.offload(b.intt(from_ints_dedup(b, s)))
                       for s in setup.selectors]
-        self.sigma_m = [b.offload(b.intt(b.from_ints(s))) for s in setup.permutations]
-        self.sigma_v = [b.offload(b.from_ints(s)) for s in setup.permutations]
+        sigma_dev = sigma_value_vectors(setup, b)
+        self.sigma_m = [b.offload(b.intt(v)) for v in sigma_dev]
+        self.sigma_v = [b.offload(v) for v in sigma_dev]
+        del sigma_dev
         self.omega = get_domain_omega(size)
 
     def lde(self, hosted):

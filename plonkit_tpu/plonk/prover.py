@@ -71,6 +71,18 @@ def validate_witness(setup: SetupPolynomials, wire_columns: List[List[int]],
             raise ProvingError(f"constraint system is not satisfied at row {row}")
 
 
+def sigma_value_vectors(setup: SetupPolynomials, b):
+    """Device sigma value vectors: built from the label-index array when the
+    backend supports it (one pow-scan + 4 gathers, no python-int conversion
+    — SetupPolynomials docstring), else via dedup limb conversion of the
+    materialized int view."""
+    idx = getattr(setup, "perm_label_idx", None)
+    if idx is not None and hasattr(b, "perm_from_labels"):
+        return b.perm_from_labels(idx)
+    from ..backend import from_ints_dedup
+    return [from_ints_dedup(b, s) for s in setup.permutations]
+
+
 def _commit_many(b, msm_ctx, vs):
     """Batched commits when the backend supports it (queue all programs,
     then resolve flags), per-commit otherwise."""
@@ -117,7 +129,7 @@ class ProverContext:
         # conversion (see backend.from_ints_dedup)
         self.sel_v = [from_ints_dedup(b, s) for s in setup.selectors]
         self.sel_m = [b.intt(v) for v in self.sel_v]
-        self.sigma_v = [from_ints_dedup(b, s) for s in setup.permutations]
+        self.sigma_v = sigma_value_vectors(setup, b)
         self.sigma_m = [b.intt(v) for v in self.sigma_v]
         self.sel_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sel_m]
         self.sigma_l = [b.coset_lde(m, LDE_FACTOR) for m in self.sigma_m]
