@@ -29,6 +29,12 @@ import os
 # emulated there) and as a differential-testing oracle.
 _NTT_ENGINE = os.environ.get("PLONKIT_TPU_NTT", "auto")
 
+# Coset transforms at or above this many elements run as `factor` split
+# n-point transforms instead of one factor*n-point transform, bounding the
+# transform workspace next to the prover's live GiB-scale accumulators
+# (JaxBackend._coset_lde_split).  2^24 = the 2^22 aggregation domain's LDE.
+_SPLIT_NTT_MIN = int(os.environ.get("PLONKIT_TPU_SPLIT_NTT_MIN", str(1 << 24)))
+
 
 def _use_mxu_ntt(n: int, interpret: bool) -> bool:
     if _NTT_ENGINE == "mxu":
@@ -435,14 +441,76 @@ class JaxBackend:
         return FrVec(tpu_ntt.coset_ntt(v.data, shift, interpret=self.interpret))
 
     def coset_intt(self, v: FrVec, shift: int = FR_GENERATOR) -> FrVec:
+        if len(v) >= _SPLIT_NTT_MIN and len(v) % 4 == 0:
+            return self._coset_intt_split(v, 4, shift)
         if _use_mxu_ntt(len(v), self.interpret):
             return FrVec(tpu_ntt_mxu.coset_intt_mxu(v.data, shift, interpret=self.interpret))
         return FrVec(tpu_ntt.coset_intt(v.data, shift, interpret=self.interpret))
 
     def coset_lde(self, v: FrVec, factor: int, shift: int = FR_GENERATOR) -> FrVec:
+        if len(v) * factor >= _SPLIT_NTT_MIN:
+            return self._coset_lde_split(v, factor, shift)
         if _use_mxu_ntt(len(v) * factor, self.interpret):
             return FrVec(tpu_ntt_mxu.coset_lde_mxu(v.data, factor, shift, interpret=self.interpret))
         return FrVec(tpu_ntt.coset_lde(v.data, factor, shift, interpret=self.interpret))
+
+    # -- split (workspace-bounded) large coset transforms --------------------
+    # A factor*n coset LDE is `factor` independent n-point coset NTTs:
+    # LDE[F*t + j] = p(g*eta^(F*t+j)) = coset_ntt_n(p, g*eta^j)[t]
+    # (eta = omega_{F*n}, eta^F = omega_n).  At the 2^22 aggregation domain
+    # a single 2^24-point transform's stage workspaces alone exhaust a
+    # 16 GiB v5e next to the live quotient accumulators (the round-5 OOM in
+    # prove2's r3); the split bounds transform workspace at the n-point
+    # size the rest of the prover already runs, at the cost of F serial
+    # dispatches with queue drains.  The inverse recombines the strided
+    # parts with a 4-point DFT across j:  coset_intt_n(v[j::F], g*eta^j)
+    # gives c_j[k] = sum_m p[k+m*n] * (g^n)^m * u^(j*m)  (u = eta^n, a
+    # primitive F-th root), so  p[k+m*n] = g^(-n*m)/F * sum_j u^(-j*m) c_j[k].
+
+    def _coset_lde_split(self, v: FrVec, factor: int, shift: int) -> FrVec:
+        from .fields import get_domain_omega
+        from .profiling import sync_device
+        n = len(v)
+        eta = get_domain_omega(factor * n)
+        parts = []
+        for j in range(factor):
+            sj = shift * pow(eta, j, R) % R
+            parts.append(self.coset_ntt(v, sj).data)
+            sync_device()
+        # [16, n, F] -> [16, F*n] interleaves part j at positions F*t + j
+        out = jnp.stack(parts, axis=-1).reshape(NLIMBS, factor * n)
+        del parts
+        sync_device()
+        return FrVec(out)
+
+    def _coset_intt_split(self, v: FrVec, factor: int, shift: int) -> FrVec:
+        from .fields import get_domain_omega
+        from .profiling import sync_device
+        total = len(v)
+        n = total // factor
+        eta = get_domain_omega(total)
+        u = pow(eta, n, R)
+        u_inv = fr_inv(u)
+        g_n_inv = fr_inv(pow(shift, n, R))
+        f_inv = fr_inv(factor)
+        cs = []
+        for j in range(factor):
+            sj = shift * pow(eta, j, R) % R
+            part = FrVec(v.data[:, j::factor])
+            cs.append(self.coset_intt(part, sj))
+            sync_device()
+        chunks = []
+        for m in range(factor):
+            gm = pow(g_n_inv, m, R) * f_inv % R
+            acc = self.scale(cs[0], gm)
+            for j in range(1, factor):
+                acc = self.scale_add(cs[j], gm * pow(u_inv, j * m, R) % R, acc)
+            chunks.append(acc.data)
+            sync_device()
+        out = jnp.concatenate(chunks, axis=1)
+        del chunks
+        sync_device()
+        return FrVec(out)
 
     # -- MSM ---------------------------------------------------------------
 
