@@ -89,3 +89,32 @@ def test_mxu_big_domain_matches_pease():
     assert np.array_equal(got, ref)
     back = np.asarray(ntt_mxu.intt_mxu(jnp.asarray(got)))
     assert np.array_equal(back, raw)
+
+
+def test_split_coset_transforms_match_monolithic():
+    """The workspace-bounded split paths (backend_jax._coset_lde_split /
+    _coset_intt_split, used at >=2^24 elements where a monolithic
+    transform's stage workspaces OOM a 16 GiB v5e next to the quotient
+    accumulators) must agree element-wise with the monolithic transforms
+    at any size."""
+    import random
+
+    from plonkit_tpu.backend_jax import JaxBackend
+    from plonkit_tpu.fields import FR_GENERATOR, FR_MODULUS as R
+
+    b = JaxBackend()
+    rng = random.Random(11)
+    n = 256
+    v = b.from_ints([rng.randrange(R) for _ in range(n)])
+
+    lde_ref = b.coset_lde(v, 4)
+    lde_split = b._coset_lde_split(v, 4, FR_GENERATOR)
+    assert b.to_ints(lde_ref) == b.to_ints(lde_split)
+
+    m_ref = b.coset_intt(lde_ref)
+    m_split = b._coset_intt_split(lde_ref, 4, FR_GENERATOR)
+    assert b.to_ints(m_ref) == b.to_ints(m_split)
+    # round-trip: first n monomial coefficients recover v, rest vanish
+    back = b.to_ints(m_split)
+    assert back[:n] == b.to_ints(v)
+    assert not any(back[n:])
