@@ -33,8 +33,11 @@ all four C_k are evaluable from the proof's wire evaluations at zeta and
 zeta*omega.
 """
 
+import logging
 from dataclasses import dataclass
 from typing import List, Tuple
+
+log = logging.getLogger("plonkit_tpu")
 
 from ..fields import FR_MODULUS as R, FR_GENERATOR, NON_RESIDUES, fr_inv, get_domain_omega
 from ..serialization import (Crs, Proof, read_fr, read_g1, read_u64, write_fr,
@@ -347,6 +350,27 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     n = setup.n
     omega = ctx.omega
 
+    import os as _os
+    _memlog = _os.environ.get("PLONKIT_TPU_MEMLOG")
+
+    def _mem(tag):
+        # HBM residency probe (PLONKIT_TPU_MEMLOG=1): bytes_in_use from the
+        # device allocator, after a queue drain so transients are settled
+        if not _memlog:
+            return
+        from ..profiling import sync_device
+        sync_device()
+        try:
+            import jax
+            st = jax.local_devices()[0].memory_stats() or {}
+            log.info("[mem] %-28s in_use=%.2f GiB peak=%.2f GiB", tag,
+                     st.get("bytes_in_use", 0) / 2**30,
+                     st.get("peak_bytes_in_use", 0) / 2**30)
+        except Exception as e:  # pragma: no cover - probe only
+            log.info("[mem] %s unavailable: %s", tag, e)
+
+    _mem("after context build")
+
     if not skip_validation:
         # vectorized check: the python row loop costs minutes at the
         # aggregation circuit's 2^21+ rows
@@ -366,6 +390,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     wires_m = [b.intt(v) for v in wires_v]
     wire_comms = _commit_many(b, ctx.msm_ctx, wires_m)
     _r1.__exit__(None, None, None)
+    _mem("after r1")
     for p in wire_comms:
         transcript.update_g1(p)
     beta = transcript.get_challenge()
@@ -393,6 +418,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     del z_v
     z_comm = b.commit(ctx.msm_ctx, z_m)
     _r2.__exit__(None, None, None)
+    _mem("after r2")
     transcript.update_g1(z_comm)
     alpha = transcript.get_challenge()
     alpha_pows = [1] * 7
@@ -410,6 +436,7 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     del wires_v
     wires_m_host = [b.offload(m) for m in wires_m]
     del wires_m
+    _mem("r3 entry")
 
     class _WireLDE:
         cap = 2
@@ -459,9 +486,19 @@ def prove2(setup: SetupPolynomials2, wire_columns: List[List[int]],
     def mul_chain(acc_v, t):
         return _muli(acc_v, t) if _muli is not None else b.mul(acc_v, t)
 
-    acc_mul(ctx.lde(ctx.sel_m[4]), b.mul(wl.get(0), wl.get(1)))
+    _w0 = wl.get(0)
+    _mem("w0 LDE live")
+    _w1 = wl.get(1)
+    _mem("w0+w1 LDEs live")
+    _ab = b.mul(_w0, _w1)
+    del _w0, _w1
+    _mem("a*b live")
+    acc_mul(ctx.lde(ctx.sel_m[4]), _ab)
+    del _ab
+    _mem("q_m term accumulated")
     for i in range(STATE_WIDTH):
         acc_mul(ctx.lde(ctx.sel_m[i]), wl.get(i))
+    _mem("wire terms accumulated")
     acc(ctx.lde(ctx.sel_m[5]))
     acc_mul(ctx.lde(ctx.sel_m[6]), d_next())
 
